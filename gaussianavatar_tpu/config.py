@@ -1,0 +1,204 @@
+"""Typed configuration with CLI parity to the reference argparse groups
+(/root/reference/arguments/__init__.py:55-144). Same flag names, same
+defaults, same `-s`/`-m` shorthands, same cfg_args save/merge behavior —
+but as plain dataclasses serialized to JSON instead of eval()'d Namespaces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from argparse import ArgumentParser, Namespace
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+
+def smpl_canonical_pose() -> np.ndarray:
+    """Canonical pose for SMPL: legs splayed +-30 deg (hip z rotations).
+    Matches reference arguments/__init__.py:51-53."""
+    leg_angle = 30.0
+    cpose = np.zeros(72, dtype=np.float32)
+    cpose[5] = leg_angle / 180.0 * math.pi
+    cpose[8] = -leg_angle / 180.0 * math.pi
+    return cpose
+
+
+def smplx_canonical_pose() -> np.ndarray:
+    """Canonical pose for SMPL-X (165-dim full pose), reference :45-47."""
+    leg_angle = 30.0
+    cpose = np.zeros(165, dtype=np.float32)
+    cpose[5] = leg_angle / 180.0 * math.pi
+    cpose[8] = -leg_angle / 180.0 * math.pi
+    return cpose
+
+
+@dataclass
+class ModelParams:
+    source_path: str = ""          # -s
+    model_path: str = ""           # -m
+    project_path: str = field(default_factory=os.getcwd)
+    smpl_model_path: str = ""      # defaults to <project>/assets/smpl_files/smpl
+    smplx_model_path: str = ""
+    test_folder: str = ""          # defaults to <project>/assets/test_pose
+    stage1_out_path: str = ""
+    save_epoch: int = 30
+    train_stage: int = 1
+    dataset_type: str = "peeplesnapshot"
+    smpl_gender: str = "neutral"
+    smpl_type: str = "smpl"
+    no_mask: int = 0
+    fixed_inp: int = 0
+    train_mode: int = 0
+    cam_static: int = 1
+    white_background: bool = True  # -w
+    bullet_pose_list: List[int] = field(default_factory=lambda: [112, 217, 755])
+    batch_size: int = 2
+    query_posmap_size: int = 512
+    inp_posmap_size: int = 128
+
+    def __post_init__(self):
+        if not self.smpl_model_path:
+            self.smpl_model_path = os.path.join(self.project_path, "assets/smpl_files/smpl")
+        if not self.smplx_model_path:
+            self.smplx_model_path = os.path.join(self.project_path, "assets/smpl_files/smplx")
+        if not self.test_folder:
+            self.test_folder = os.path.join(self.project_path, "assets/test_pose")
+
+
+@dataclass
+class NetworkParams:
+    c_pose: int = 64
+    c_geom: int = 64
+    hsize: int = 128
+    nf: int = 32
+    up_mode: str = "upconv"
+    use_dropout: int = 0
+    pos_encoding: int = 0
+    num_emb_freqs: int = 6
+    posemb_incl_input: int = 0
+    geom_layer_type: str = "conv"
+    gaussian_kernel_size: int = 5
+
+
+@dataclass
+class OptimizationParams:
+    epochs: int = 200
+    lambda_dssim: float = 0.2
+    lambda_scale: float = 3e-2
+    lambda_lpips: float = 0.2
+    lambda_aiap: float = 0.1
+    lambda_pose: float = 10.0
+    lambda_rgl: float = 1e1
+    log_iter: int = 2000
+    lpips_start_iter: int = 30      # epoch-gated, like the reference (train.py:89)
+    pose_op_start_iter: int = 1800  # epoch-gated, like the reference (avatar_model.py:262)
+    lr_net: float = 3e-3
+    lr_geomfeat: float = 5e-4
+    lr_pose: float = 5e-3           # SparseAdam lr (avatar_model.py:113)
+    sched_milestones: List[int] = field(default_factory=list)
+    # The reference calls MultiStepLR.step() per ITERATION with epoch-unit
+    # milestones (avatar_model.py:267 + arguments:142) so the LR actually
+    # decays after 66/133 iterations; `sched_unit='iteration'` replicates that
+    # effective behavior. Set 'epoch' for the (likely intended) schedule.
+    sched_unit: str = "iteration"
+    use_aiap: bool = False          # AIAP regularizer (dead code in reference)
+
+    def __post_init__(self):
+        if not self.sched_milestones:
+            self.sched_milestones = [self.epochs // 3, self.epochs * 2 // 3]
+
+
+@dataclass
+class RasterParams:
+    """TPU rasterizer knobs (new; no reference analog)."""
+    tile_size: int = 32                 # pixels per tile side (VPU-native 32x32=8x128)
+    tile_capacity: int = 512            # max gaussians blended per tile (depth-first)
+    max_tiles_per_gaussian: int = 16    # static cap on tile footprint during binning
+    backend: str = "auto"               # auto | pallas | xla | brute
+
+
+def _add_group(parser: ArgumentParser, cls, name: str, shorthands: dict):
+    group = parser.add_argument_group(name)
+    for f in dataclasses.fields(cls):
+        flag = "--" + f.name
+        default = None  # fill at extract time so cfg_args merging can detect "unset"
+        names = [flag] + ([shorthands[f.name]] if f.name in shorthands else [])
+        if f.type in ("bool", bool):
+            group.add_argument(*names, default=None, action="store_true")
+        elif f.type in ("List[int]", List[int]):
+            group.add_argument(*names, nargs="+", type=int, default=None)
+        else:
+            ftype = {"int": int, "float": float, "str": str}.get(f.type, None)
+            if ftype is None:
+                ftype = f.type if isinstance(f.type, type) else str
+            group.add_argument(*names, default=default, type=ftype)
+
+
+_SHORTHANDS = {"source_path": "-s", "model_path": "-m", "white_background": "-w"}
+
+
+def build_parser(parser: Optional[ArgumentParser] = None) -> ArgumentParser:
+    parser = parser or ArgumentParser()
+    _add_group(parser, ModelParams, "Loading Parameters", _SHORTHANDS)
+    _add_group(parser, NetworkParams, "Network Parameters", {})
+    _add_group(parser, OptimizationParams, "Optimization Parameters", {})
+    _add_group(parser, RasterParams, "Rasterizer Parameters", {})
+    return parser
+
+
+def _extract(cls, args: Namespace, overrides: Optional[dict] = None):
+    kwargs = {}
+    names = {f.name for f in dataclasses.fields(cls)}
+    if overrides:
+        kwargs.update({k: v for k, v in overrides.items() if k in names})
+    for k, v in vars(args).items():
+        if k in names and v is not None:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+@dataclass
+class Config:
+    model: ModelParams
+    net: NetworkParams
+    opt: OptimizationParams
+    raster: RasterParams
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {
+            "model": dataclasses.asdict(self.model),
+            "net": dataclasses.asdict(self.net),
+            "opt": dataclasses.asdict(self.opt),
+            "raster": dataclasses.asdict(self.raster),
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2)
+
+    @staticmethod
+    def load(path: str) -> "Config":
+        with open(path) as f:
+            payload = json.load(f)
+        return Config(
+            model=ModelParams(**payload["model"]),
+            net=NetworkParams(**payload["net"]),
+            opt=OptimizationParams(**payload["opt"]),
+            raster=RasterParams(**payload.get("raster", {})),
+        )
+
+
+def extract_config(args: Namespace, saved: Optional[Config] = None) -> Config:
+    """Build a Config from parsed args; CLI flags override `saved` (the
+    cfg_args-equivalent written at train time), which overrides defaults.
+    Mirrors reference `get_combined_args` (arguments/__init__.py:146-166)."""
+    ov = lambda c: dataclasses.asdict(c) if saved else None
+    return Config(
+        model=_extract(ModelParams, args, ov(saved.model) if saved else None),
+        net=_extract(NetworkParams, args, ov(saved.net) if saved else None),
+        opt=_extract(OptimizationParams, args, ov(saved.opt) if saved else None),
+        raster=_extract(RasterParams, args, ov(saved.raster) if saved else None),
+    )

@@ -1,0 +1,81 @@
+"""SSIM loss matching the reference implementation exactly
+(/root/reference/utils/loss_utils.py:13-53): 11x11 Gaussian window, sigma 1.5,
+depthwise conv with same-padding, C1=0.01^2, C2=0.03^2, mean over all pixels.
+Differentiable; used inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    xs = np.arange(window_size)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma**2))
+    g = g / g.sum()
+    w2d = np.outer(g, g).astype(np.float32)
+    return w2d
+
+
+def _depthwise_filter(img: jax.Array, window: jax.Array, pad: int) -> jax.Array:
+    """(B, C, H, W) depthwise conv with a shared (k, k) window, zero same-pad."""
+    C = img.shape[1]
+    k = window.shape[0]
+    kernel = jnp.broadcast_to(window, (C, 1, k, k))  # OIHW with groups=C
+    return jax.lax.conv_general_dilated(
+        img,
+        kernel,
+        window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=C,
+    )
+
+
+def ssim(
+    img1: jax.Array,
+    img2: jax.Array,
+    window_size: int = 11,
+    size_average: bool = True,
+) -> jax.Array:
+    """Structural similarity of two (B, C, H, W) (or (C, H, W)) image batches."""
+    if img1.ndim == 3:
+        img1, img2 = img1[None], img2[None]
+    window = jnp.asarray(_gaussian_window(window_size, 1.5), img1.dtype)
+    pad = window_size // 2
+
+    mu1 = _depthwise_filter(img1, window, pad)
+    mu2 = _depthwise_filter(img2, window, pad)
+
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_filter(img1 * img1, window, pad) - mu1_sq
+    sigma2_sq = _depthwise_filter(img2 * img2, window, pad) - mu2_sq
+    sigma12 = _depthwise_filter(img1 * img2, window, pad) - mu1_mu2
+
+    C1, C2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    if size_average:
+        return ssim_map.mean()
+    return ssim_map.mean(axis=(1, 2, 3))
+
+
+def psnr(img1: jax.Array, img2: jax.Array) -> jax.Array:
+    """Per-image PSNR over flattened pixels (reference utils/image_utils.py:7-9)."""
+    b = img1.shape[0] if img1.ndim == 4 else 1
+    mse = ((img1.reshape(b, -1) - img2.reshape(b, -1)) ** 2).mean(axis=1, keepdims=True)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
+def l1_loss(network_output: jax.Array, gt: jax.Array) -> jax.Array:
+    return jnp.abs(network_output - gt).mean()
+
+
+def l2_loss(network_output: jax.Array, gt: jax.Array) -> jax.Array:
+    return ((network_output - gt) ** 2).mean()
