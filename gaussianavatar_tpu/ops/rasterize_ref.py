@@ -20,6 +20,13 @@ ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
 
+def _clamp_alpha_straight_through(alpha_raw: jax.Array) -> jax.Array:
+    """min(alpha, 0.99) in the forward pass but identity in the backward pass,
+    matching the CUDA backward which ignores the clamp when propagating
+    dL/dG = opacity * dL/dalpha (graphdeco backward.cu renderCUDA)."""
+    return alpha_raw + jax.lax.stop_gradient(jnp.minimum(alpha_raw, ALPHA_MAX) - alpha_raw)
+
+
 def blend_pixels(
     px: jax.Array,          # (P,) pixel x coords (float)
     py: jax.Array,          # (P,) pixel y coords
@@ -28,17 +35,17 @@ def blend_pixels(
     colors: jax.Array,      # (K, 3)
     opacities: jax.Array,   # (K,)
     active: jax.Array,      # (K,) bool: gaussian participates at all
-    bg: jax.Array,          # (3,)
 ):
     """Blend K depth-ordered gaussians into P pixels.
 
-    Returns (color (P,3), final_T (P,), n_contrib (P,) int32).
+    Returns (premult_color (P,3), final_T (P,), n_contrib (P,) int32); the
+    caller adds final_T * bg.
     """
     dx = px[None, :] - means2d[:, 0:1]  # (K, P)
     dy = py[None, :] - means2d[:, 1:2]
     a, b, c = conics[:, 0:1], conics[:, 1:2], conics[:, 2:3]
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    alpha = jnp.minimum(ALPHA_MAX, opacities[:, None] * jnp.exp(power))
+    alpha = _clamp_alpha_straight_through(opacities[:, None] * jnp.exp(power))
     gate = active[:, None] & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(gate, alpha, 0.0)
 
@@ -54,16 +61,14 @@ def blend_pixels(
     contrib = gate & (~done)
 
     weight = jnp.where(contrib, alpha * T_before, 0.0)  # (K, P)
-    color = weight.T @ colors  # (P, 3)
+    color = jnp.matmul(weight.T, colors, precision=jax.lax.Precision.HIGHEST)  # (P, 3)
 
     log1m = jnp.where(contrib, jnp.log1p(-alpha), 0.0)
     final_T = jnp.exp(jnp.sum(log1m, axis=0))  # (P,)
 
     idx = jnp.arange(1, alpha.shape[0] + 1, dtype=jnp.int32)[:, None]
     n_contrib = jnp.max(jnp.where(contrib, idx, 0), axis=0)
-
-    out = color + final_T[:, None] * bg[None, :]
-    return out, final_T, n_contrib
+    return color, final_T, n_contrib
 
 
 def rasterize_brute(
@@ -99,12 +104,12 @@ def rasterize_brute(
 
     def chunk_fn(i):
         s = i * pixel_chunk
-        out, _, _ = blend_pixels(
+        premult, final_T, _ = blend_pixels(
             jax.lax.dynamic_slice_in_dim(px, s, pixel_chunk),
             jax.lax.dynamic_slice_in_dim(py, s, pixel_chunk),
-            means2d, conics, cols, ops, active, bg,
+            means2d, conics, cols, ops, active,
         )
-        return out
+        return premult + final_T[:, None] * bg[None, :]
 
     chunks = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
     img = chunks.reshape(-1, 3)[:P]

@@ -1,0 +1,434 @@
+"""Tile-binned differentiable Gaussian splatting — the TPU-native replacement
+for the CUDA `diff-gaussian-rasterization` extension the reference depends on
+(/root/reference/gaussian_renderer/__init__.py:6).
+
+Pipeline (all static shapes, jit-compatible):
+  1. depth sort (XLA stable sort over N gaussians),
+  2. tile binning: each gaussian emits up to M=(MW*MH) (tile, rank) keys;
+     one XLA sort of the N*M keys groups them by tile in depth order; a
+     searchsorted pass yields per-tile offsets; a gather builds fixed-capacity
+     per-tile parameter tables (T, K, 16) — this replaces the CUDA radix-sort
+     + dynamic per-tile ranges with a fully static-shape equivalent,
+  3. per-tile alpha blending:
+       - Pallas TPU kernel (forward + analytic backward as a custom VJP;
+         pixels live as (ts*ts/128, 128) VPU-native registers),
+       - or a vmapped jnp blender (`backend="xla"`) with identical semantics
+         for CPU tests and as an autodiff cross-check.
+
+Blending semantics (incl. the 1/255 alpha floor, 0.99 clamp with CUDA's
+straight-through backward quirk, 1e-4 early termination, and per-pixel
+n_contrib bookkeeping) are locked against `rasterize_ref.blend_pixels`.
+
+Capacity notes: a tile blends at most K (`tile_capacity`) gaussians — the
+closest K in depth order win; a gaussian covers at most MW*MH tiles
+(`max_tiles_per_gaussian`), centered on its projected mean. Both caps are
+config knobs; the CUDA original is uncapped but avatar workloads sit far
+below these defaults.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussianavatar_tpu.ops.projection import ProjectedGaussians
+from gaussianavatar_tpu.ops.rasterize_ref import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    T_EPS,
+    _clamp_alpha_straight_through,
+    blend_pixels,
+)
+
+_LANES = 128
+_CHUNK = 8  # gaussians per unrolled inner step in the Pallas kernels
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# --------------------------------------------------------------------------
+# Binning (XLA)
+# --------------------------------------------------------------------------
+
+class BinnedTiles(NamedTuple):
+    params: jax.Array   # (T, K, 16) packed per-tile gaussian params
+    counts: jax.Array   # (T,) int32 gaussians per tile (<= K)
+    overflow: jax.Array  # () int32: total gaussian-tile pairs dropped by K cap
+
+
+def _pack_tile_params(
+    proj: ProjectedGaussians,
+    colors: jax.Array,
+    opacities: jax.Array,
+    height: int,
+    width: int,
+    ts: int,
+    K: int,
+    MW: int,
+    MH: int,
+) -> BinnedTiles:
+    N = proj.depths.shape[0]
+    txn, tyn = _cdiv(width, ts), _cdiv(height, ts)
+    T = txn * tyn
+    if T * N >= 2**31:
+        raise ValueError(f"tile binning key overflow: tiles({T}) * gaussians({N}) >= 2^31")
+    M = MW * MH
+
+    valid = proj.radii > 0
+    order = jnp.argsort(jnp.where(valid, proj.depths, jnp.inf), stable=True)
+    mx = proj.means2d[order]
+    conics = proj.conics[order]
+    cols = colors[order]
+    ops = opacities.reshape(-1)[order]
+    r = proj.radii[order]
+    v = valid[order]
+
+    # tile rect, CUDA getRect semantics: [min, max) clamped to the grid
+    x0 = jnp.clip(jnp.floor((mx[:, 0] - r) / ts), 0, txn).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx[:, 0] + r + ts - 1) / ts), 0, txn).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((mx[:, 1] - r) / ts), 0, tyn).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((mx[:, 1] + r + ts - 1) / ts), 0, tyn).astype(jnp.int32)
+
+    # cap the footprint to MW x MH tiles, recentered on the mean's tile
+    cxt = jnp.clip((mx[:, 0] // ts).astype(jnp.int32), x0, jnp.maximum(x1 - 1, x0))
+    cyt = jnp.clip((mx[:, 1] // ts).astype(jnp.int32), y0, jnp.maximum(y1 - 1, y0))
+    spanx = x1 - x0
+    spany = y1 - y0
+    x0 = jnp.where(spanx > MW, jnp.clip(cxt - MW // 2, x0, x1 - MW), x0)
+    y0 = jnp.where(spany > MH, jnp.clip(cyt - MH // 2, y0, y1 - MH), y0)
+    spanx = jnp.minimum(spanx, MW)
+    spany = jnp.minimum(spany, MH)
+
+    slots = jnp.arange(M, dtype=jnp.int32)
+    sx = slots % MW
+    sy = slots // MW
+    tile_x = x0[:, None] + sx[None, :]
+    tile_y = y0[:, None] + sy[None, :]
+    slot_valid = v[:, None] & (sx[None, :] < spanx[:, None]) & (sy[None, :] < spany[:, None])
+    tile_id = tile_y * txn + tile_x
+
+    rank = jnp.arange(N, dtype=jnp.int32)
+    keys = jnp.where(slot_valid, tile_id * N + rank[:, None], jnp.int32(2**31 - 1))
+    vals = jnp.broadcast_to(rank[:, None], (N, M))
+    sorted_keys, sorted_vals = jax.lax.sort_key_val(keys.reshape(-1), vals.reshape(-1))
+
+    boundaries = (jnp.arange(T + 1, dtype=jnp.int32) * N).astype(jnp.int32)
+    offsets = jnp.searchsorted(sorted_keys, boundaries, side="left").astype(jnp.int32)
+    full_counts = offsets[1:] - offsets[:-1]
+    counts = jnp.minimum(full_counts, K)
+    overflow = jnp.sum(full_counts - counts)
+
+    L = N * M
+    idx = offsets[:-1, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    in_range = idx < offsets[1:, None]
+    ids_t = jnp.where(in_range, sorted_vals[jnp.clip(idx, 0, L - 1)], 0)  # (T, K)
+
+    gm = mx[ids_t]        # (T, K, 2)
+    gc = conics[ids_t]    # (T, K, 3)
+    gcol = cols[ids_t]    # (T, K, 3)
+    gop = ops[ids_t]      # (T, K)
+    gv = in_range.astype(gm.dtype)
+
+    params = jnp.concatenate(
+        [gm, gc, gcol, gop[..., None], gv[..., None],
+         jnp.zeros(gm.shape[:2] + (6,), gm.dtype)],
+        axis=-1,
+    )  # (T, K, 16): mx,my | a,b,c | r,g,b | opacity | valid | 6 pad
+    return BinnedTiles(params=params, counts=counts, overflow=overflow)
+
+
+# --------------------------------------------------------------------------
+# XLA blend backend (semantics twin of the Pallas kernel; CPU-friendly)
+# --------------------------------------------------------------------------
+
+def _tile_pixel_coords(txn: int, tyn: int, ts: int, dtype) -> Tuple[jax.Array, jax.Array]:
+    t = jnp.arange(txn * tyn, dtype=jnp.int32)
+    tx = (t % txn)[:, None]
+    ty = (t // txn)[:, None]
+    f = jnp.arange(ts * ts, dtype=jnp.int32)[None, :]
+    px = (tx * ts + f % ts).astype(dtype)
+    py = (ty * ts + f // ts).astype(dtype)
+    return px, py  # (T, ts*ts)
+
+
+def _blend_xla(params: jax.Array, counts: jax.Array, txn: int, tyn: int, ts: int):
+    px, py = _tile_pixel_coords(txn, tyn, ts, params.dtype)
+
+    def one(p, px1, py1):
+        active = p[:, 9] > 0
+        return blend_pixels(px1, py1, p[:, 0:2], p[:, 2:5], p[:, 5:8], p[:, 8], active)
+
+    premult, final_T, ncon = jax.vmap(one)(params, px, py)
+    return premult, final_T, ncon  # (T,PX,3), (T,PX), (T,PX)
+
+
+# --------------------------------------------------------------------------
+# Pallas TPU kernels
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(count_ref, params_ref, color_ref, finalT_ref, ncon_ref, *, K, ts, txn):
+    pxr = ts * ts // _LANES
+    t = pl.program_id(0)
+    tx = t % txn
+    ty = t // txn
+    f = (
+        jax.lax.broadcasted_iota(jnp.int32, (pxr, _LANES), 0) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (pxr, _LANES), 1)
+    )
+    px = (tx * ts + f % ts).astype(jnp.float32)
+    py = (ty * ts + f // ts).astype(jnp.float32)
+
+    count = count_ref[t]
+    nchunks = pl.cdiv(count, _CHUNK)
+
+    def body(ci, st):
+        T, cr, cg, cb, done, ncon = st
+        k0 = ci * _CHUNK
+        p = params_ref[0, pl.ds(k0, _CHUNK), :]  # (_CHUNK, 16)
+        for g in range(_CHUNK):
+            k = k0 + g
+            dx = px - p[g, 0]
+            dy = py - p[g, 1]
+            ca, cb_, cc = p[g, 2], p[g, 3], p[g, 4]
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb_ * dx * dy
+            gval = jnp.exp(power)
+            alpha = jnp.minimum(p[g, 8] * gval, ALPHA_MAX)
+            ok = (p[g, 9] > 0) & (k < count)
+            live = ok & (power <= 0.0) & (alpha >= ALPHA_MIN)
+            test_T = T * (1.0 - alpha)
+            trig = live & (test_T < T_EPS)
+            done = jnp.maximum(done, trig.astype(jnp.float32))  # f32 carry: Mosaic dislikes bool loop state
+            m = live & (done == 0.0)
+            w = jnp.where(m, alpha * T, 0.0)
+            cr = cr + w * p[g, 5]
+            cg = cg + w * p[g, 6]
+            cb = cb + w * p[g, 7]
+            T = jnp.where(m, test_T, T)
+            ncon = jnp.where(m, k + 1, ncon)
+        return (T, cr, cg, cb, done, ncon)
+
+    zero = jnp.zeros((pxr, _LANES), jnp.float32)
+    init = (
+        jnp.ones((pxr, _LANES), jnp.float32),
+        zero, zero, zero,
+        zero,  # done mask carried as f32
+        jnp.zeros((pxr, _LANES), jnp.int32),
+    )
+    T, cr, cg, cb, done, ncon = jax.lax.fori_loop(0, nchunks, body, init)
+    color_ref[0, 0] = cr
+    color_ref[0, 1] = cg
+    color_ref[0, 2] = cb
+    finalT_ref[0] = T
+    ncon_ref[0] = ncon
+
+
+def _bwd_kernel(
+    count_ref, params_ref, finalT_ref, ncon_ref, gimg_ref, gfT_ref, grads_ref,
+    *, K, ts, txn,
+):
+    pxr = ts * ts // _LANES
+    t = pl.program_id(0)
+    tx = t % txn
+    ty = t // txn
+    f = (
+        jax.lax.broadcasted_iota(jnp.int32, (pxr, _LANES), 0) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (pxr, _LANES), 1)
+    )
+    px = (tx * ts + f % ts).astype(jnp.float32)
+    py = (ty * ts + f // ts).astype(jnp.float32)
+
+    count = count_ref[t]
+    nchunks = pl.cdiv(count, _CHUNK)
+
+    finalT = finalT_ref[0]
+    ncon = ncon_ref[0]
+    gr = gimg_ref[0, 0]
+    gg = gimg_ref[0, 1]
+    gb = gimg_ref[0, 2]
+    gfT = gfT_ref[0]
+
+    grads_ref[0, :, :] = jnp.zeros((K, 16), jnp.float32)
+
+    def body(i, st):
+        T, ar, ag, ab = st
+        ci = nchunks - 1 - i
+        k0 = ci * _CHUNK
+        p = params_ref[0, pl.ds(k0, _CHUNK), :]
+        for g in range(_CHUNK - 1, -1, -1):
+            k = k0 + g
+            dx = px - p[g, 0]
+            dy = py - p[g, 1]
+            ca, cb_, cc = p[g, 2], p[g, 3], p[g, 4]
+            colr, colg, colb = p[g, 5], p[g, 6], p[g, 7]
+            op = p[g, 8]
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb_ * dx * dy
+            gval = jnp.exp(power)
+            alpha = jnp.minimum(op * gval, ALPHA_MAX)
+            ok = (p[g, 9] > 0) & (k < count)
+            m = ok & (power <= 0.0) & (alpha >= ALPHA_MIN) & (k < ncon)
+            one_m = 1.0 - alpha
+            Tn = jnp.where(m, T / one_m, T)  # transmittance BEFORE this gaussian
+            wT = jnp.where(m, alpha * Tn, 0.0)
+            d_r = jnp.sum(wT * gr)
+            d_g = jnp.sum(wT * gg)
+            d_b = jnp.sum(wT * gb)
+            dalpha = ((colr - ar) * gr + (colg - ag) * gg + (colb - ab) * gb) * Tn
+            dalpha = dalpha + (-finalT / one_m) * gfT
+            dalpha = jnp.where(m, dalpha, 0.0)
+            # update suffix color accumulators AFTER using them
+            ar = jnp.where(m, alpha * colr + one_m * ar, ar)
+            ag = jnp.where(m, alpha * colg + one_m * ag, ag)
+            ab = jnp.where(m, alpha * colb + one_m * ab, ab)
+            # CUDA parity: dalpha/dG = opacity, ignoring the 0.99 clamp
+            dpow = gval * op * dalpha
+            d_mx = jnp.sum(dpow * (ca * dx + cb_ * dy))
+            d_my = jnp.sum(dpow * (cb_ * dx + cc * dy))
+            d_ca = jnp.sum(-0.5 * dx * dx * dpow)
+            d_cb = jnp.sum(-dx * dy * dpow)
+            d_cc = jnp.sum(-0.5 * dy * dy * dpow)
+            d_op = jnp.sum(gval * dalpha)
+            zero = d_op * 0.0
+            row = jnp.stack(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_r, d_g, d_b, d_op,
+                 zero, zero, zero, zero, zero, zero, zero]
+            ).reshape(1, 16)
+
+            @pl.when(k < count)
+            def _():
+                grads_ref[0, pl.ds(k, 1), :] = row
+
+            T = Tn
+        return (T, ar, ag, ab)
+
+    zero = jnp.zeros((pxr, _LANES), jnp.float32)
+    jax.lax.fori_loop(0, nchunks, body, (finalT, zero, zero, zero))
+
+
+def _pallas_fwd(params, counts, txn, tyn, ts, K, interpret):
+    T = txn * tyn
+    pxr = ts * ts // _LANES
+    kernel = functools.partial(_fwd_kernel, K=K, ts=ts, txn=txn)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full counts vector, tiny
+            pl.BlockSpec((1, K, 16), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, pxr, _LANES), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 3, pxr, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, pxr, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, pxr, _LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts, params)
+
+
+def _pallas_bwd(params, counts, finalT, ncon, gimg, gfT, txn, tyn, ts, K, interpret):
+    T = txn * tyn
+    pxr = ts * ts // _LANES
+    kernel = functools.partial(_bwd_kernel, K=K, ts=ts, txn=txn)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full counts vector, tiny
+            pl.BlockSpec((1, K, 16), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, pxr, _LANES), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, 16), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, K, 16), jnp.float32),
+        interpret=interpret,
+    )(counts, params, finalT, ncon, gimg, gfT)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_pallas_blend(txn: int, tyn: int, ts: int, K: int, interpret: bool):
+    """custom-VJP blend over packed per-tile params; pixel axis lives as
+    (ts*ts/128, 128) so every vector op is a full VPU register."""
+
+    @jax.custom_vjp
+    def blend(params, counts):
+        color, finalT, ncon = _pallas_fwd(params, counts, txn, tyn, ts, K, interpret)
+        return color, finalT, ncon
+
+    def blend_fwd(params, counts):
+        color, finalT, ncon = _pallas_fwd(params, counts, txn, tyn, ts, K, interpret)
+        return (color, finalT, ncon), (params, counts, finalT, ncon)
+
+    def blend_bwd(res, cot):
+        params, counts, finalT, ncon = res
+        gimg, gfT, _ = cot
+        grads = _pallas_bwd(
+            params, counts, finalT, ncon, gimg, gfT, txn, tyn, ts, K, interpret
+        )
+        return grads, None
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend
+
+
+# --------------------------------------------------------------------------
+# Public entry
+# --------------------------------------------------------------------------
+
+def _untile(x: jax.Array, txn: int, tyn: int, ts: int, height: int, width: int) -> jax.Array:
+    """(T, C, ts*ts/128, 128) tile-major -> (C, H, W)."""
+    C = x.shape[1]
+    x = x.reshape(tyn, txn, C, ts, ts)
+    return x.transpose(2, 0, 3, 1, 4).reshape(C, tyn * ts, txn * ts)[:, :height, :width]
+
+
+def rasterize_tiled(
+    proj: ProjectedGaussians,
+    colors: jax.Array,
+    opacities: jax.Array,
+    bg: jax.Array,
+    height: int,
+    width: int,
+    config,
+) -> jax.Array:
+    ts = config.tile_size
+    K = config.tile_capacity
+    M = config.max_tiles_per_gaussian
+    MW = MH = int(math.isqrt(M))
+    assert MW * MH == M, "max_tiles_per_gaussian must be a perfect square"
+    assert (ts * ts) % _LANES == 0, "tile_size^2 must be a multiple of 128"
+    assert K % _CHUNK == 0, "tile_capacity must be a multiple of 8"
+
+    txn, tyn = _cdiv(width, ts), _cdiv(height, ts)
+    binned = _pack_tile_params(proj, colors, opacities, height, width, ts, K, MW, MH)
+
+    backend = getattr(config, "backend", "auto")
+    if backend in ("auto", "tile"):
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if backend == "xla":
+        premult, final_T, _ = _blend_xla(binned.params, binned.counts, txn, tyn, ts)
+        pxr = ts * ts // _LANES
+        color_t = premult.transpose(0, 2, 1).reshape(-1, 3, pxr, _LANES)
+        finalT_t = final_T.reshape(-1, pxr, _LANES)
+    else:
+        interpret = backend == "pallas_interpret"
+        blend = _make_pallas_blend(txn, tyn, ts, K, interpret)
+        color_t, finalT_t, _ = blend(binned.params, binned.counts)
+
+    img = _untile(color_t, txn, tyn, ts, height, width)
+    T_img = _untile(finalT_t[:, None], txn, tyn, ts, height, width)[0]
+    return img + T_img[None] * bg[:, None, None]
