@@ -1,0 +1,221 @@
+"""The fused jitted train/render step.
+
+One XLA program per step: embedding lookup -> SMPL LBS -> POP decode ->
+skinning -> vmapped tile rasterization over the batch -> L1 + SSIM (+LPIPS)
++ regularizers -> grads -> multi-group optax update (train.py:63-97 and
+avatar_model.py:272-367 collapsed into a single compiled function; the
+reference instead runs a Python loop with one CUDA launch per batch item,
+avatar_model.py:332-365).
+
+Epoch-dependent scalars (regularizer decay w_rgl, pose-optimization gate,
+LPIPS gate) are traced inputs so one compiled step serves all epochs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gaussianavatar_tpu.models.avatar import (
+    AvatarAssets,
+    AvatarNet,
+    gaussian_attributes,
+    pose_gaussians,
+    scale_warmup,
+)
+from gaussianavatar_tpu.models.body import BodyModel
+from gaussianavatar_tpu.ops.camera import Camera
+from gaussianavatar_tpu.ops.rasterize import RasterizeConfig, rasterize
+from gaussianavatar_tpu.ops.ssim import l1_loss, ssim
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    iteration: jax.Array  # int32
+
+
+def make_render_views(H: int, W: int, bg_color, raster_cfg: RasterizeConfig):
+    """Batched renderer: the whole batch rides one Pallas launch."""
+    from gaussianavatar_tpu.ops.rasterize import rasterize_views
+
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    def render(means, colors, scales3, rotations, opacity, wvt, fpt, tanx, tany):
+        return rasterize_views(
+            means, colors, scales3, rotations, opacity,
+            wvt, fpt, tanx, tany, H, W, bg, config=raster_cfg,
+        )
+
+    return render
+
+
+def _forward_gaussians(net, variables, body_model, assets, batch, iteration, train, mutable):
+    """Shared forward: batch dict -> (world points, colors, scales3, rot,
+    opacity, aux losses dict, new batch_stats)."""
+    idx = batch["pose_idx"]
+    B = idx.shape[0]
+    inp = batch.get("inp_pos_map")
+
+    def apply_fn(vs):
+        def run(module):
+            if "pose_data" in batch:  # free-render path: poses from the dataset
+                pose, transl = batch["pose_data"], batch["transl_data"]
+            else:
+                pose, transl = module.lookup(idx)
+            res, scales, shs, pose_featmap = module.decode(
+                assets, B, inp_posmap=inp, train=train
+            )
+            return res, scales, shs, pose, transl, pose_featmap
+
+        if mutable:
+            return net.apply(vs, method=run, mutable=["batch_stats"])
+        return net.apply(vs, method=run), vs.get("batch_stats", {})
+
+    (res, scales, shs, pose, transl, pose_featmap), new_state = apply_fn(variables)
+
+    world = pose_gaussians(
+        body_model, assets, pose, transl, res, rest_pose=batch.get("rest_pose")
+    )
+    # scale warm-up is a stage-1 mechanism only (avatar_model.py:316-319 vs :416)
+    scales_w = scale_warmup(scales, iteration) if net.train_stage == 1 else scales
+    scales3, rotations, opacity = gaussian_attributes(assets, scales_w, shs)
+
+    aux = {
+        "offset_loss": jnp.mean(res**2),
+        "scale_loss": jnp.mean(scales3),
+        "pose_loss": jnp.mean(pose_featmap**2) if pose_featmap is not None else jnp.float32(0.0),
+    }
+    new_bs = new_state.get("batch_stats", {}) if isinstance(new_state, dict) else new_state
+    return world, shs, scales3, rotations, opacity, aux, new_bs
+
+
+def make_train_step(
+    net: AvatarNet,
+    body_model: BodyModel,
+    assets: AvatarAssets,
+    tx,
+    opt_cfg,
+    H: int,
+    W: int,
+    bg_color,
+    raster_cfg: RasterizeConfig,
+    train_stage: int = 1,
+    lpips_fn: Optional[Callable] = None,
+):
+    render_views = make_render_views(H, W, bg_color, raster_cfg)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, w_rgl, pose_opt_gate, lpips_gate):
+        iteration = state.iteration + 1
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            world, shs, scales3, rotations, opacity, aux, new_bs = _forward_gaussians(
+                net, variables, body_model, assets, batch, iteration, True, True
+            )
+            images = render_views(
+                world, shs, scales3, rotations, opacity,
+                batch["world_view_transform"], batch["full_proj_transform"],
+                batch["tan_fovx"], batch["tan_fovy"],
+            )
+            gt = batch["original_image"]
+
+            Ll1 = (1.0 - opt_cfg.lambda_dssim) * l1_loss(images, gt)
+            ssim_loss = opt_cfg.lambda_dssim * (1.0 - ssim(images, gt))
+            offset_loss = w_rgl * aux["offset_loss"]
+            if train_stage == 1:
+                geo_loss = jnp.mean(params["geo_feature"] ** 2)
+                scale_loss = opt_cfg.lambda_scale * aux["scale_loss"]
+                loss = scale_loss + offset_loss + Ll1 + ssim_loss + geo_loss
+                terms = dict(l1=Ll1, ssim=ssim_loss, scale=scale_loss,
+                             offset=offset_loss, geo=geo_loss)
+            else:
+                pose_loss = aux["pose_loss"] * opt_cfg.lambda_pose
+                loss = offset_loss + Ll1 + ssim_loss + pose_loss
+                terms = dict(l1=Ll1, ssim=ssim_loss, offset=offset_loss, pose=pose_loss)
+
+            if lpips_fn is not None:
+                vgg = opt_cfg.lambda_lpips * lpips_fn((images - 0.5) * 2, (gt - 0.5) * 2)
+                loss = loss + lpips_gate * vgg
+                terms["vgg"] = vgg
+            terms["total"] = loss
+            return loss, (new_bs, terms, images)
+
+        grads, (new_bs, terms, images) = jax.grad(loss_fn, has_aux=True)(state.params)
+
+        # epoch gate for pose optimization: zero grads -> sparse adam no-ops
+        for k in ("pose_embedding", "transl_embedding"):
+            grads[k] = grads[k] * pose_opt_gate
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            iteration=iteration,
+        )
+        return new_state, terms, images
+
+    return train_step
+
+
+def make_render_fn(
+    net: AvatarNet,
+    body_model: BodyModel,
+    assets: AvatarAssets,
+    H: int,
+    W: int,
+    bg_color,
+    raster_cfg: RasterizeConfig,
+):
+    """Jitted inference render (render_free_stage1/2 equivalent,
+    avatar_model.py:467-649): poses come either from the batch
+    ('pose_data'/'transl_data') or the trained embeddings."""
+    render_views = make_render_views(H, W, bg_color, raster_cfg)
+
+    @jax.jit
+    def render(params, batch_stats, batch, iteration=jnp.int32(10**6)):
+        variables = {"params": params, "batch_stats": batch_stats}
+        world, shs, scales3, rotations, opacity, _, _ = _forward_gaussians(
+            net, variables, body_model, assets, batch, iteration, False, False
+        )
+        return render_views(
+            world, shs, scales3, rotations, opacity,
+            batch["world_view_transform"], batch["full_proj_transform"],
+            batch["tan_fovx"], batch["tan_fovy"],
+        )
+
+    return render
+
+
+def init_state(
+    net: AvatarNet,
+    assets: AvatarAssets,
+    tx,
+    rng=None,
+    batch_size: int = 2,
+) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    idx = jnp.zeros((batch_size,), jnp.int32)
+    inp = (
+        jnp.zeros((batch_size, net.inp_posmap_size, net.inp_posmap_size, 3))
+        if net.train_stage == 2
+        else None
+    )
+    variables = net.init(rng, assets, idx, inp_posmap=inp, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        iteration=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,173 @@
+"""SMPL / SMPL-X body models as pure-JAX parameter pytrees + functions.
+
+Capability parity with the reference's vendored smplx package
+(/root/reference/submodules/smplx/body_models.py:43-393 SMPL,
+:886-1292 SMPL-X), restricted to what the avatar pipeline instantiates
+(avatar_model.py:47,57): SMPL(gender) and SMPLX(use_pca=False,
+flat_hand_mean=True). Output semantics match the local smplx modification:
+`forward` returns the per-joint relative affines `A` with the global
+translation folded into vertices, joints AND A[:, :, :3, 3]
+(body_models.py:380-383).
+
+Design: a `BodyModel` NamedTuple of device arrays (a pytree — jit/vmap/shard
+friendly); `forward` is a pure function; loaders read the official .pkl/.npz
+model files on the host. No torch anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianavatar_tpu.ops.lbs import lbs
+
+SMPL_NUM_JOINTS = 24
+SMPLX_NUM_JOINTS = 55
+
+
+class BodyModel(NamedTuple):
+    """Parameter pytree for an SMPL-family body model."""
+
+    v_template: jax.Array    # (V, 3)
+    shapedirs: jax.Array     # (V, 3, n_betas)
+    posedirs: jax.Array      # (9*(J-1), V*3)
+    J_regressor: jax.Array   # (J, V)
+    lbs_weights: jax.Array   # (V, J)
+    parents: np.ndarray      # (J,) static int
+    faces: np.ndarray        # (F, 3) static int
+    model_type: str = "smpl"  # static
+
+
+class BodyOutput(NamedTuple):
+    vertices: jax.Array   # (B, V, 3)
+    joints: jax.Array     # (B, J, 3)
+    A: jax.Array          # (B, J, 4, 4) relative affines (transl folded in)
+
+
+def _to_np(x) -> np.ndarray:
+    """Convert raw pickle entries (numpy, chumpy, scipy sparse) to ndarray."""
+    if hasattr(x, "r"):  # chumpy
+        return np.asarray(x.r, dtype=np.float64)
+    if hasattr(x, "todense"):  # scipy sparse
+        return np.asarray(x.todense(), dtype=np.float64)
+    return np.asarray(x)
+
+
+def _from_struct(data: dict, model_type: str, num_betas: int) -> BodyModel:
+    v_template = _to_np(data["v_template"]).astype(np.float32)
+    shapedirs = _to_np(data["shapedirs"]).astype(np.float32)[:, :, :num_betas]
+    posedirs = _to_np(data["posedirs"]).astype(np.float32)
+    # official storage is (V, 3, P); flatten to (P, V*3) like smplx init
+    posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T
+    J_regressor = _to_np(data["J_regressor"]).astype(np.float32)
+    parents = _to_np(data["kintree_table"])[0].astype(np.int64)
+    parents[0] = -1
+    lbs_weights = _to_np(data["weights"]).astype(np.float32)
+    faces = _to_np(data["f"]).astype(np.int64)
+    J = J_regressor.shape[0]
+    return BodyModel(
+        v_template=jnp.asarray(v_template),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(posedirs[: 9 * (J - 1)]),
+        J_regressor=jnp.asarray(J_regressor),
+        lbs_weights=jnp.asarray(lbs_weights),
+        parents=parents.astype(np.int32),
+        faces=faces,
+        model_type=model_type,
+    )
+
+
+def load_body_model(
+    model_path: str,
+    model_type: str = "smpl",
+    gender: str = "neutral",
+    num_betas: int = 10,
+) -> BodyModel:
+    """Load an official SMPL (.pkl) or SMPL-X (.npz/.pkl) model file.
+
+    `model_path` may be the file itself or a directory containing
+    `SMPL_{GENDER}.pkl` / `SMPLX_{GENDER}.npz` (smplx layout)."""
+    path = model_path
+    if os.path.isdir(path):
+        candidates = [
+            os.path.join(path, f"{model_type.upper()}_{gender.upper()}.pkl"),
+            os.path.join(path, f"{model_type.upper()}_{gender.upper()}.npz"),
+            os.path.join(path, f"basicmodel_{'m' if gender == 'male' else 'f' if gender == 'female' else 'neutral'}_lbs_10_207_0_v1.0.0.pkl"),
+        ]
+        for c in candidates:
+            if os.path.exists(c):
+                path = c
+                break
+        else:
+            raise FileNotFoundError(f"no {model_type} model for gender={gender} in {model_path}")
+
+    if path.endswith(".npz"):
+        data = dict(np.load(path, allow_pickle=True))
+    else:
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+    return _from_struct(data, model_type, num_betas)
+
+
+def create(model_path: str, model_type: str = "smpl", gender: str = "neutral", **kwargs) -> BodyModel:
+    """smplx.create-style factory (reference body_models.py:2337-2415 shape)."""
+    return load_body_model(model_path, model_type=model_type, gender=gender, **kwargs)
+
+
+def forward(
+    model: BodyModel,
+    betas: jax.Array,                       # (B, n_betas)
+    global_orient: jax.Array,               # (B, 3)
+    body_pose: jax.Array,                   # (B, 63|69) axis-angle
+    transl: Optional[jax.Array] = None,     # (B, 3)
+    jaw_pose: Optional[jax.Array] = None,   # (B, 3) smplx only
+    leye_pose: Optional[jax.Array] = None,
+    reye_pose: Optional[jax.Array] = None,
+    left_hand_pose: Optional[jax.Array] = None,   # (B, 45) smplx, use_pca=False
+    right_hand_pose: Optional[jax.Array] = None,
+) -> BodyOutput:
+    """Pose the body. SMPL: full pose = [global(3), body(69)]. SMPL-X:
+    [global(3), body(63), jaw(3), leye(3), reye(3), lhand(45), rhand(45)]
+    (flat_hand_mean=True semantics: hand poses used as-is)."""
+    B = body_pose.shape[0]
+    J = model.parents.shape[0]
+
+    if model.model_type == "smplx":
+        z3 = jnp.zeros((B, 3), body_pose.dtype)
+        z45 = jnp.zeros((B, 45), body_pose.dtype)
+        parts = [
+            global_orient,
+            body_pose,
+            jaw_pose if jaw_pose is not None else z3,
+            leye_pose if leye_pose is not None else z3,
+            reye_pose if reye_pose is not None else z3,
+            left_hand_pose if left_hand_pose is not None else z45,
+            right_hand_pose if right_hand_pose is not None else z45,
+        ]
+        full_pose = jnp.concatenate(parts, axis=1)
+    else:
+        full_pose = jnp.concatenate([global_orient, body_pose], axis=1)
+
+    assert full_pose.shape[1] == J * 3, (full_pose.shape, J)
+
+    verts, joints, A = lbs(
+        betas,
+        full_pose,
+        model.v_template,
+        model.shapedirs,
+        model.posedirs,
+        model.J_regressor,
+        model.parents,
+        model.lbs_weights,
+    )
+    if transl is not None:
+        t = transl[:, None, :]
+        verts = verts + t
+        joints = joints + t
+        A = A.at[:, :, :3, 3].add(t)
+    return BodyOutput(vertices=verts, joints=joints, A=A)

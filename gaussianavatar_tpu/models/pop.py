@@ -1,0 +1,69 @@
+"""POPDecoder — the avatar's geometry/appearance network, capability parity
+with reference `POP_no_unet` (/root/reference/model/network.py:9-83):
+
+  geometry feature tensor (B, F, F, C)
+    -> optional smoother ('conv' | 'bottleneck' | 'unet', network.py:24-32)
+    -> (+ pose feature map, stage 2)
+    -> bilinear upsample to the query UV resolution (exact grid_sample parity
+       via `pop_upsample`)
+    -> gather the valid UV pixels       <- TPU design choice: the reference
+       runs its MLP over ALL R^2 UV pixels then selects valid ones
+       (avatar_model.py:308-309); the decoder is pointwise, so we gather
+       first and run the MLP only on the ~40% valid points (2.6x less MXU
+       work). BatchNorm statistics are then over valid points only.
+    -> ShapeDecoder MLP -> (offsets, isotropic scales, colors) per point.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gaussianavatar_tpu.models.decoder import ShapeDecoder
+from gaussianavatar_tpu.models.layers import (
+    GeomConvBottleneckLayers,
+    GeomConvLayers,
+    UnetNoCond5DS,
+)
+from gaussianavatar_tpu.ops.resample import pop_upsample
+
+
+class POPDecoder(nn.Module):
+    c_geom: int = 64
+    geom_layer_type: Optional[str] = "conv"
+    nf: int = 32
+    hsize: int = 128
+    up_mode: str = "upconv"
+    use_dropout: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        geom_featmap: jax.Array,        # (B, F, F, C) NHWC
+        uv_coords: jax.Array,           # (Nv, 2) normalized uv of the valid pixels
+        valid_idx: jax.Array,           # (Nv,) int32 flat indices into R*R
+        query_res: int,                 # R
+        pose_featmap: Optional[jax.Array] = None,  # (B, F, F, C) stage 2
+        train: bool = True,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if self.geom_layer_type == "conv":
+            geom_featmap = GeomConvLayers(self.c_geom, self.c_geom)(geom_featmap, train)
+        elif self.geom_layer_type == "bottleneck":
+            geom_featmap = GeomConvBottleneckLayers(self.c_geom, self.c_geom)(geom_featmap, train)
+        elif self.geom_layer_type == "unet":
+            geom_featmap = UnetNoCond5DS(self.c_geom, self.nf, self.up_mode, self.use_dropout)(geom_featmap, train)
+
+        pix_feature = geom_featmap if pose_featmap is None else geom_featmap + pose_featmap
+
+        B = pix_feature.shape[0]
+        up = pop_upsample(pix_feature, query_res)           # (B, R, R, C)
+        flat = up.reshape(B, query_res * query_res, -1)
+        pts = flat[:, valid_idx, :]                          # (B, Nv, C)
+
+        uv = jnp.broadcast_to(uv_coords[None], (B,) + uv_coords.shape)
+        feats = jnp.concatenate([pts, uv], axis=-1)          # (B, Nv, C+2)
+
+        return ShapeDecoder(hsize=self.hsize)(feats, train)

@@ -64,3 +64,51 @@ def rasterize(
     return rasterize_tiled(
         proj, colors, opacities, bg_color, camera.height, camera.width, config
     )
+
+
+def rasterize_views(
+    means3d: jax.Array,                 # (B, N, 3)
+    colors: jax.Array,                  # (B, N, 3)
+    scales: jax.Array,                  # (B, N, 3)
+    rotations: jax.Array,               # (N, 4) shared or (B, N, 4)
+    opacities: jax.Array,               # (N,) shared or (B, N)
+    world_view_transforms: jax.Array,   # (B, 4, 4)
+    full_proj_transforms: jax.Array,    # (B, 4, 4)
+    tan_fovx: jax.Array,                # (B,)
+    tan_fovy: jax.Array,                # (B,)
+    height: int,
+    width: int,
+    bg_color: jax.Array,                # (3,)
+    scale_modifier: float = 1.0,
+    config: RasterizeConfig = RasterizeConfig(),
+) -> jax.Array:
+    """Batched rendering -> (B, 3, H, W). Projection/binning vmap as XLA; the
+    Pallas blend launches once with the batch folded into its tile grid
+    (replacing the reference's per-item Python render loop,
+    avatar_model.py:332-365)."""
+    from gaussianavatar_tpu.ops.projection import project_gaussians
+    from gaussianavatar_tpu.ops.rasterize_tile import rasterize_views_binned
+
+    B, N = means3d.shape[:2]
+    if rotations.ndim == 2:
+        rotations = jnp.broadcast_to(rotations[None], (B,) + rotations.shape)
+    opacities = opacities.reshape((-1, N)) if opacities.ndim > 1 else opacities
+    if opacities.ndim == 1:
+        opacities = jnp.broadcast_to(opacities[None], (B, N))
+    elif opacities.shape[0] != B:
+        opacities = jnp.broadcast_to(opacities.reshape(1, N), (B, N))
+
+    projs = jax.vmap(
+        lambda m, s, r, wvt, fpt, tx, ty: project_gaussians(
+            m, s, r, wvt, fpt, tx, ty, height, width, scale_modifier=scale_modifier
+        )
+    )(means3d, scales, rotations, world_view_transforms, full_proj_transforms, tan_fovx, tan_fovy)
+
+    if config.backend == "brute":
+        imgs = []
+        for b in range(B):
+            pr = type(projs)(*(x[b] for x in projs))
+            imgs.append(rasterize_brute(pr, colors[b], opacities[b], bg_color, height, width))
+        return jnp.stack(imgs)
+
+    return rasterize_views_binned(projs, colors, opacities, bg_color, height, width, config)

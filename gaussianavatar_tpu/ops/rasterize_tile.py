@@ -89,7 +89,9 @@ def _pack_tile_params(
     cols = colors[order]
     ops = opacities.reshape(-1)[order]
     r = proj.radii[order]
-    v = valid[order]
+    # opacity < 1/255 can never pass the alpha floor — drop at binning time
+    # (this is how padding gaussians with opacity 0 become free)
+    v = valid[order] & (ops >= ALPHA_MIN)
 
     # tile rect, CUDA getRect semantics: [min, max) clamped to the grid
     x0 = jnp.clip(jnp.floor((mx[:, 0] - r) / ts), 0, txn).astype(jnp.int32)
@@ -159,8 +161,11 @@ def _tile_pixel_coords(txn: int, tyn: int, ts: int, dtype) -> Tuple[jax.Array, j
     return px, py  # (T, ts*ts)
 
 
-def _blend_xla(params: jax.Array, counts: jax.Array, txn: int, tyn: int, ts: int):
+def _blend_xla(params: jax.Array, counts: jax.Array, txn: int, tyn: int, ts: int, n_images: int = 1):
     px, py = _tile_pixel_coords(txn, tyn, ts, params.dtype)
+    if n_images > 1:
+        px = jnp.tile(px, (n_images, 1))
+        py = jnp.tile(py, (n_images, 1))
 
     def one(p, px1, py1):
         active = p[:, 9] > 0
@@ -174,11 +179,12 @@ def _blend_xla(params: jax.Array, counts: jax.Array, txn: int, tyn: int, ts: int
 # Pallas TPU kernels
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(count_ref, params_ref, color_ref, finalT_ref, ncon_ref, *, K, ts, txn):
+def _fwd_kernel(count_ref, params_ref, color_ref, finalT_ref, ncon_ref, *, K, ts, txn, n_tiles):
     pxr = ts * ts // _LANES
     t = pl.program_id(0)
-    tx = t % txn
-    ty = t // txn
+    tile = t % n_tiles  # batch of views is folded into the grid
+    tx = tile % txn
+    ty = tile // txn
     f = (
         jax.lax.broadcasted_iota(jnp.int32, (pxr, _LANES), 0) * _LANES
         + jax.lax.broadcasted_iota(jnp.int32, (pxr, _LANES), 1)
@@ -232,12 +238,13 @@ def _fwd_kernel(count_ref, params_ref, color_ref, finalT_ref, ncon_ref, *, K, ts
 
 def _bwd_kernel(
     count_ref, params_ref, finalT_ref, ncon_ref, gimg_ref, gfT_ref, grads_ref,
-    *, K, ts, txn,
+    *, K, ts, txn, n_tiles,
 ):
     pxr = ts * ts // _LANES
     t = pl.program_id(0)
-    tx = t % txn
-    ty = t // txn
+    tile = t % n_tiles  # batch of views is folded into the grid
+    tx = tile % txn
+    ty = tile // txn
     f = (
         jax.lax.broadcasted_iota(jnp.int32, (pxr, _LANES), 0) * _LANES
         + jax.lax.broadcasted_iota(jnp.int32, (pxr, _LANES), 1)
@@ -312,10 +319,11 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, nchunks, body, (finalT, zero, zero, zero))
 
 
-def _pallas_fwd(params, counts, txn, tyn, ts, K, interpret):
-    T = txn * tyn
+def _pallas_fwd(params, counts, txn, tyn, ts, K, interpret, n_images=1):
+    n_tiles = txn * tyn
+    T = n_images * n_tiles
     pxr = ts * ts // _LANES
-    kernel = functools.partial(_fwd_kernel, K=K, ts=ts, txn=txn)
+    kernel = functools.partial(_fwd_kernel, K=K, ts=ts, txn=txn, n_tiles=n_tiles)
     return pl.pallas_call(
         kernel,
         grid=(T,),
@@ -337,10 +345,11 @@ def _pallas_fwd(params, counts, txn, tyn, ts, K, interpret):
     )(counts, params)
 
 
-def _pallas_bwd(params, counts, finalT, ncon, gimg, gfT, txn, tyn, ts, K, interpret):
-    T = txn * tyn
+def _pallas_bwd(params, counts, finalT, ncon, gimg, gfT, txn, tyn, ts, K, interpret, n_images=1):
+    n_tiles = txn * tyn
+    T = n_images * n_tiles
     pxr = ts * ts // _LANES
-    kernel = functools.partial(_bwd_kernel, K=K, ts=ts, txn=txn)
+    kernel = functools.partial(_bwd_kernel, K=K, ts=ts, txn=txn, n_tiles=n_tiles)
     return pl.pallas_call(
         kernel,
         grid=(T,),
@@ -359,24 +368,25 @@ def _pallas_bwd(params, counts, finalT, ncon, gimg, gfT, txn, tyn, ts, K, interp
 
 
 @functools.lru_cache(maxsize=32)
-def _make_pallas_blend(txn: int, tyn: int, ts: int, K: int, interpret: bool):
+def _make_pallas_blend(txn: int, tyn: int, ts: int, K: int, interpret: bool, n_images: int = 1):
     """custom-VJP blend over packed per-tile params; pixel axis lives as
-    (ts*ts/128, 128) so every vector op is a full VPU register."""
+    (ts*ts/128, 128) so every vector op is a full VPU register. A batch of
+    views is folded into the kernel grid (one launch for the whole batch)."""
 
     @jax.custom_vjp
     def blend(params, counts):
-        color, finalT, ncon = _pallas_fwd(params, counts, txn, tyn, ts, K, interpret)
+        color, finalT, ncon = _pallas_fwd(params, counts, txn, tyn, ts, K, interpret, n_images)
         return color, finalT, ncon
 
     def blend_fwd(params, counts):
-        color, finalT, ncon = _pallas_fwd(params, counts, txn, tyn, ts, K, interpret)
+        color, finalT, ncon = _pallas_fwd(params, counts, txn, tyn, ts, K, interpret, n_images)
         return (color, finalT, ncon), (params, counts, finalT, ncon)
 
     def blend_bwd(res, cot):
         params, counts, finalT, ncon = res
         gimg, gfT, _ = cot
         grads = _pallas_bwd(
-            params, counts, finalT, ncon, gimg, gfT, txn, tyn, ts, K, interpret
+            params, counts, finalT, ncon, gimg, gfT, txn, tyn, ts, K, interpret, n_images
         )
         return grads, None
 
@@ -395,6 +405,55 @@ def _untile(x: jax.Array, txn: int, tyn: int, ts: int, height: int, width: int) 
     return x.transpose(2, 0, 3, 1, 4).reshape(C, tyn * ts, txn * ts)[:, :height, :width]
 
 
+def rasterize_views_binned(
+    projs: ProjectedGaussians,   # batched: every field has leading dim B
+    colors: jax.Array,           # (B, N, 3)
+    opacities: jax.Array,        # (B, N) or (B, N, 1)
+    bg: jax.Array,               # (3,)
+    height: int,
+    width: int,
+    config,
+) -> jax.Array:
+    """Render a batch of views -> (B, 3, H, W). Binning is vmapped XLA; the
+    Pallas blend runs ONCE with the batch folded into its grid."""
+    ts = config.tile_size
+    K = config.tile_capacity
+    M = config.max_tiles_per_gaussian
+    MW = MH = int(math.isqrt(M))
+    assert MW * MH == M, "max_tiles_per_gaussian must be a perfect square"
+    assert (ts * ts) % _LANES == 0, "tile_size^2 must be a multiple of 128"
+    assert K % _CHUNK == 0, "tile_capacity must be a multiple of 8"
+
+    B = colors.shape[0]
+    txn, tyn = _cdiv(width, ts), _cdiv(height, ts)
+    n_tiles = txn * tyn
+
+    binned = jax.vmap(
+        lambda pr, cl, op: _pack_tile_params(pr, cl, op, height, width, ts, K, MW, MH)
+    )(projs, colors, opacities)
+    params = binned.params.reshape(B * n_tiles, K, 16)
+    counts = binned.counts.reshape(B * n_tiles)
+
+    backend = getattr(config, "backend", "auto")
+    if backend in ("auto", "tile"):
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    pxr = ts * ts // _LANES
+    if backend == "xla":
+        premult, final_T, _ = _blend_xla(params, counts, txn, tyn, ts, n_images=B)
+        color_t = premult.transpose(0, 2, 1).reshape(-1, 3, pxr, _LANES)
+        finalT_t = final_T.reshape(-1, pxr, _LANES)
+    else:
+        interpret = backend == "pallas_interpret"
+        blend = _make_pallas_blend(txn, tyn, ts, K, interpret, B)
+        color_t, finalT_t, _ = blend(params, counts)
+
+    untile = lambda x: _untile(x, txn, tyn, ts, height, width)
+    img = jax.vmap(untile)(color_t.reshape(B, n_tiles, 3, pxr, _LANES))
+    T_img = jax.vmap(untile)(finalT_t.reshape(B, n_tiles, 1, pxr, _LANES))[:, 0]
+    return img + T_img[:, None] * bg[None, :, None, None]
+
+
 def rasterize_tiled(
     proj: ProjectedGaussians,
     colors: jax.Array,
@@ -404,31 +463,9 @@ def rasterize_tiled(
     width: int,
     config,
 ) -> jax.Array:
-    ts = config.tile_size
-    K = config.tile_capacity
-    M = config.max_tiles_per_gaussian
-    MW = MH = int(math.isqrt(M))
-    assert MW * MH == M, "max_tiles_per_gaussian must be a perfect square"
-    assert (ts * ts) % _LANES == 0, "tile_size^2 must be a multiple of 128"
-    assert K % _CHUNK == 0, "tile_capacity must be a multiple of 8"
-
-    txn, tyn = _cdiv(width, ts), _cdiv(height, ts)
-    binned = _pack_tile_params(proj, colors, opacities, height, width, ts, K, MW, MH)
-
-    backend = getattr(config, "backend", "auto")
-    if backend in ("auto", "tile"):
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-
-    if backend == "xla":
-        premult, final_T, _ = _blend_xla(binned.params, binned.counts, txn, tyn, ts)
-        pxr = ts * ts // _LANES
-        color_t = premult.transpose(0, 2, 1).reshape(-1, 3, pxr, _LANES)
-        finalT_t = final_T.reshape(-1, pxr, _LANES)
-    else:
-        interpret = backend == "pallas_interpret"
-        blend = _make_pallas_blend(txn, tyn, ts, K, interpret)
-        color_t, finalT_t, _ = blend(binned.params, binned.counts)
-
-    img = _untile(color_t, txn, tyn, ts, height, width)
-    T_img = _untile(finalT_t[:, None], txn, tyn, ts, height, width)[0]
-    return img + T_img[None] * bg[:, None, None]
+    """Single-view entry: (3, H, W)."""
+    projs = ProjectedGaussians(*(x[None] for x in proj))
+    img = rasterize_views_binned(
+        projs, colors[None], opacities.reshape(1, -1), bg, height, width, config
+    )
+    return img[0]
