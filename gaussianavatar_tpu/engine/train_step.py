@@ -108,10 +108,10 @@ def make_train_step(
     raster_cfg: RasterizeConfig,
     train_stage: int = 1,
     lpips_fn: Optional[Callable] = None,
+    jit: bool = True,
 ):
     render_views = make_render_views(H, W, bg_color, raster_cfg)
 
-    @jax.jit
     def train_step(state: TrainState, batch, w_rgl, pose_opt_gate, lpips_gate):
         iteration = state.iteration + 1
 
@@ -164,7 +164,7 @@ def make_train_step(
         )
         return new_state, terms, images
 
-    return train_step
+    return jax.jit(train_step) if jit else train_step
 
 
 def make_render_fn(
