@@ -91,10 +91,18 @@ def train(
     if mp.train_stage == 2:
         state = stage_load(state, mp.stage1_out_path)
 
+    aiap_nn = None
+    if getattr(opt, "use_aiap", False):
+        from gaussianavatar_tpu.ops.knn import host_knn
+
+        pts = np.asarray(bundle.assets.query_points[: bundle.assets.num_valid])
+        aiap_nn = jnp.asarray(host_knn(pts, k=5))
+        print(f"AIAP regularizer on: {pts.shape[0]} points, k=5")
+
     step_fn = make_train_step(
         bundle.net, bundle.body_model, bundle.assets, tx, opt,
         H, W, bg, raster_config(cfg), train_stage=mp.train_stage,
-        lpips_fn=lpips_fn,
+        lpips_fn=lpips_fn, aiap_nn=aiap_nn,
     )
 
     first_iter = epoch_start * steps_per_epoch

@@ -143,6 +143,9 @@ def setup_avatar(cfg: Config, train: bool = True) -> AvatarBundle:
         geom_layer_type=npar.geom_layer_type or None,
         up_mode=npar.up_mode,
         use_dropout=bool(npar.use_dropout),
+        pos_encoding=bool(npar.pos_encoding),
+        num_emb_freqs=npar.num_emb_freqs,
+        posemb_incl_input=bool(npar.posemb_incl_input),
         train_stage=mp.train_stage,
         pose_init=train_dataset.pose_data,
         transl_init=train_dataset.transl_data,

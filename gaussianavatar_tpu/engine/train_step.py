@@ -88,6 +88,7 @@ def _forward_gaussians(net, variables, body_model, assets, batch, iteration, tra
     scales3, rotations, opacity = gaussian_attributes(assets, scales_w, shs)
 
     aux = {
+        "offsets": res,
         "offset_loss": jnp.mean(res**2),
         "scale_loss": jnp.mean(scales3),
         "pose_loss": jnp.mean(pose_featmap**2) if pose_featmap is not None else jnp.float32(0.0),
@@ -109,6 +110,7 @@ def make_train_step(
     train_stage: int = 1,
     lpips_fn: Optional[Callable] = None,
     jit: bool = True,
+    aiap_nn=None,
 ):
     render_views = make_render_views(H, W, bg_color, raster_cfg)
 
@@ -141,6 +143,14 @@ def make_train_step(
                 loss = offset_loss + Ll1 + ssim_loss + pose_loss
                 terms = dict(l1=Ll1, ssim=ssim_loss, offset=offset_loss, pose=pose_loss)
 
+            if aiap_nn is not None:
+                from gaussianavatar_tpu.ops.knn import aiap_loss
+
+                nv = assets.num_valid
+                cano = assets.query_points[None, :nv] + aux["offsets"][:, :nv]
+                aiap = opt_cfg.lambda_aiap * aiap_loss(cano, world[:, :nv], aiap_nn)
+                loss = loss + aiap
+                terms["aiap"] = aiap
             if lpips_fn is not None:
                 vgg = opt_cfg.lambda_lpips * lpips_fn((images - 0.5) * 2, (gt - 0.5) * 2)
                 loss = loss + lpips_gate * vgg

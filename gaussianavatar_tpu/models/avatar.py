@@ -133,6 +133,9 @@ class AvatarNet(nn.Module):
     geom_layer_type: Optional[str] = "conv"
     up_mode: str = "upconv"
     use_dropout: bool = False
+    pos_encoding: bool = False
+    num_emb_freqs: int = 6
+    posemb_incl_input: bool = False
     train_stage: int = 1
     pose_init: Optional[np.ndarray] = None     # (num_frames, pose_dim)
     transl_init: Optional[np.ndarray] = None   # (num_frames, 3)
@@ -167,6 +170,9 @@ class AvatarNet(nn.Module):
             hsize=self.hsize,
             up_mode=self.up_mode,
             use_dropout=self.use_dropout,
+            pos_encoding=self.pos_encoding,
+            num_emb_freqs=self.num_emb_freqs,
+            posemb_incl_input=self.posemb_incl_input,
         )
         if self.train_stage == 2:
             self.pose_encoder = UnetNoCond5DS(

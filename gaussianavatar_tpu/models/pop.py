@@ -38,6 +38,9 @@ class POPDecoder(nn.Module):
     hsize: int = 128
     up_mode: str = "upconv"
     use_dropout: bool = False
+    pos_encoding: bool = False      # NeRF-encode the uv query coords
+    num_emb_freqs: int = 6
+    posemb_incl_input: bool = False
 
     @nn.compact
     def __call__(
@@ -63,7 +66,15 @@ class POPDecoder(nn.Module):
         flat = up.reshape(B, query_res * query_res, -1)
         pts = flat[:, valid_idx, :]                          # (B, Nv, C)
 
+        if self.pos_encoding:
+            from gaussianavatar_tpu.ops.embedder import get_embedder
+
+            embed, _ = get_embedder(
+                self.num_emb_freqs, input_dims=2,
+                include_input=self.posemb_incl_input,
+            )
+            uv_coords = embed(uv_coords)
         uv = jnp.broadcast_to(uv_coords[None], (B,) + uv_coords.shape)
-        feats = jnp.concatenate([pts, uv], axis=-1)          # (B, Nv, C+2)
+        feats = jnp.concatenate([pts, uv], axis=-1)          # (B, Nv, C+uv)
 
         return ShapeDecoder(hsize=self.hsize)(feats, train)

@@ -40,12 +40,19 @@ def rasterize(
     bg_color: jax.Array,
     scale_modifier: float = 1.0,
     config: RasterizeConfig = RasterizeConfig(),
+    shs: Optional[jax.Array] = None,
+    sh_degree: int = 0,
 ) -> jax.Array:
     """Render (3, H, W). All inputs are per-gaussian arrays (N, ...);
-    `opacities` may be (N,) or (N, 1); colors are precomputed RGB in [0,1]
+    `opacities` may be (N,) or (N, 1). `colors` are precomputed RGB in [0,1]
     (the reference always uses colors_precomp with sh_degree=0,
-    avatar_model.py:347-364).
+    avatar_model.py:347-364); pass `shs` ((N, (deg+1)^2, 3)) instead for
+    view-dependent SH colors — full CUDA-rasterizer API parity.
     """
+    if shs is not None:
+        from gaussianavatar_tpu.ops.sh import sh_to_colors
+
+        colors = sh_to_colors(sh_degree, shs, means3d, camera.camera_center)
     proj = project_gaussians(
         means3d, scales, rotations,
         camera.world_view_transform, camera.full_proj_transform,
