@@ -131,7 +131,24 @@ class _MonoBase:
         return R, T, np.asarray(intr, np.float32).reshape(3, 3)
 
     def _load_image(self, name_idx):
-        image = Image.open(join(self.data_folder, "images", f"{name_idx}.{self.image_fix}"))
+        img_path = join(self.data_folder, "images", f"{name_idx}.{self.image_fix}")
+        mask_path = (
+            None if self.no_mask
+            else join(self.data_folder, "masks", f"{name_idx}.{self.mask_fix}")
+        )
+        # native C++ decode + composite fast path
+        try:
+            from gaussianavatar_tpu import native
+
+            size = native.image_size(img_path)
+            if size is not None:
+                w, h = size
+                frame = native.load_frame(img_path, mask_path, 1.0, w, h)
+                if frame is not None:
+                    return frame, h, w
+        except Exception:
+            pass
+        image = Image.open(img_path)
         width, height = image.size
         img = np.asarray(image, np.float32)
         if img.ndim == 2:

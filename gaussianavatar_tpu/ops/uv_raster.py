@@ -43,6 +43,15 @@ def rasterize_uv_atlas(
     non-overlapping by construction, so order is irrelevant in practice).
     """
     R = size
+    # native C++ fast path (identical math; see native/gsavatar_native.cpp)
+    try:
+        from gaussianavatar_tpu import native
+
+        out = native.rasterize_uv(verts3d, uvs, faces_v, faces_vt, R)
+        if out is not None:
+            return UVRaster(position_map=out[0], face_id=out[1], bary=out[2])
+    except Exception:
+        pass
     pos = np.zeros((R, R, 3), np.float32)
     fid = np.full((R, R), -1, np.int32)
     bar = np.zeros((R, R, 3), np.float32)
