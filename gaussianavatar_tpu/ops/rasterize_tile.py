@@ -81,11 +81,10 @@ def _pack_tile_params_batched(
     lowers ~1.7x slower than one flat sort on TPU, so the batch is folded
     into the key's tile field instead. depth_bits adapts so B*T*2^depth_bits
     fits int31 (28 bits at small tile counts, >=19 for 4x1024^2 workloads).
-    Depth precision matters for TRAINING, not just rendering: with 21-bit
-    keys, near-coincident surface gaussians tie and blend in index order,
-    which measurably degraded convergence (L1 0.047 vs 0.014 after 300
-    steps on the synthetic avatar); 28-bit keys restore exact-order
-    behavior."""
+    Depth precision also affects TRAINING, not just rendering: 21-bit keys
+    let near-coincident surface gaussians tie and blend in index order,
+    which degraded a (chaotic, single-seed) 300-step convergence probe 2x;
+    28-bit keys restore exact-order behavior at zero cost."""
     B, N = projs.depths.shape
     txn, tyn = _cdiv(width, ts), _cdiv(height, ts)
     T = txn * tyn
@@ -321,6 +320,10 @@ def _bwd_kernel(
         ci = nchunks - 1 - i
         k0 = ci * _CHUNK
         p = params_ref[0, pl.ds(k0, _CHUNK), :]
+        # per-gaussian integrands are collected and reduced ONCE per chunk:
+        # a single (CHUNK*9, pxr, LANES) -> (CHUNK*9,) reduction is far
+        # cheaper than 9 cross-lane reductions per gaussian
+        integrands = [None] * _CHUNK
         for g in range(_CHUNK - 1, -1, -1):
             k = k0 + g
             dx = px - p[g, 0]
@@ -336,9 +339,6 @@ def _bwd_kernel(
             one_m = 1.0 - alpha
             Tn = jnp.where(m, T / one_m, T)  # transmittance BEFORE this gaussian
             wT = jnp.where(m, alpha * Tn, 0.0)
-            d_r = jnp.sum(wT * gr)
-            d_g = jnp.sum(wT * gg)
-            d_b = jnp.sum(wT * gb)
             dalpha = ((colr - ar) * gr + (colg - ag) * gg + (colb - ab) * gb) * Tn
             dalpha = dalpha + (-finalT / one_m) * gfT
             dalpha = jnp.where(m, dalpha, 0.0)
@@ -348,23 +348,29 @@ def _bwd_kernel(
             ab = jnp.where(m, alpha * colb + one_m * ab, ab)
             # CUDA parity: dalpha/dG = opacity, ignoring the 0.99 clamp
             dpow = gval * op * dalpha
-            d_mx = jnp.sum(dpow * (ca * dx + cb_ * dy))
-            d_my = jnp.sum(dpow * (cb_ * dx + cc * dy))
-            d_ca = jnp.sum(-0.5 * dx * dx * dpow)
-            d_cb = jnp.sum(-dx * dy * dpow)
-            d_cc = jnp.sum(-0.5 * dy * dy * dpow)
-            d_op = jnp.sum(gval * dalpha)
-            zero = d_op * 0.0
-            row = jnp.stack(
-                [d_mx, d_my, d_ca, d_cb, d_cc, d_r, d_g, d_b, d_op,
-                 zero, zero, zero, zero, zero, zero, zero]
-            ).reshape(1, 16)
-
-            @pl.when(k < count)
-            def _():
-                grads_ref[0, pl.ds(k, 1), :] = row
-
+            # first-stage reduce: sublanes only (cheap), keep lanes
+            srow = lambda x: jnp.sum(x, axis=0, keepdims=True)  # (1, LANES)
+            integrands[g] = [
+                srow(dpow * (ca * dx + cb_ * dy)),   # d_mx
+                srow(dpow * (cb_ * dx + cc * dy)),   # d_my
+                srow(-0.5 * dx * dx * dpow),         # d_ca
+                srow(-dx * dy * dpow),               # d_cb
+                srow(-0.5 * dy * dy * dpow),         # d_cc
+                srow(wT * gr),                       # d_r
+                srow(wT * gg),                       # d_g
+                srow(wT * gb),                       # d_b
+                srow(gval * dalpha),                 # d_op
+            ]
             T = Tn
+
+        # second stage: ONE lane reduction over the whole chunk's integrands
+        flat = [arr for per_g in integrands for arr in per_g]
+        stacked = jnp.concatenate(flat, axis=0)       # (CHUNK*9, LANES)
+        sums = jnp.sum(stacked, axis=1)               # (CHUNK*9,)
+        block = jnp.concatenate(
+            [sums.reshape(_CHUNK, 9), jnp.zeros((_CHUNK, 7), jnp.float32)], axis=1
+        )
+        grads_ref[0, pl.ds(k0, _CHUNK), :] = block
         return (T, ar, ag, ab)
 
     zero = jnp.zeros((pxr, _LANES), jnp.float32)
