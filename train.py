@@ -25,6 +25,8 @@ def main(argv=None):
                         help="stop after N optimizer steps (testing)")
     parser.add_argument("--no_lpips", action="store_true",
                         help="disable the LPIPS loss term even if weights are available")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of the first training steps here")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     cfg = extract_config(args)
@@ -48,8 +50,16 @@ def main(argv=None):
 
     from gaussianavatar_tpu.engine.loop import train
 
-    train(cfg, saving_epochs, args.checkpoint_epochs, lpips_fn=lpips_fn,
-          max_steps=args.max_steps)
+    if args.profile_dir:
+        import jax
+
+        with jax.profiler.trace(args.profile_dir):
+            train(cfg, saving_epochs, args.checkpoint_epochs, lpips_fn=lpips_fn,
+                  max_steps=args.max_steps or 20)
+        print("profiler trace written to", args.profile_dir)
+    else:
+        train(cfg, saving_epochs, args.checkpoint_epochs, lpips_fn=lpips_fn,
+              max_steps=args.max_steps)
     print("\nTraining complete.")
 
 
