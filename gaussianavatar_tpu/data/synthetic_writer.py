@@ -49,16 +49,22 @@ def write_synthetic_dataset(
     opac = jnp.ones((vt.shape[0],))
     cfg = RasterizeConfig(tile_size=16, tile_capacity=256, max_tiles_per_gaussian=16)
 
-    def render_frame(pose, transl):
+    import jax
+
+    @jax.jit
+    def _render_jit(pose, transl):
         out = body_mod.forward(
             model, jnp.zeros((1, model.shapedirs.shape[-1])),
-            jnp.asarray(pose[None, :3]), jnp.asarray(pose[None, 3:]),
-            transl=jnp.asarray(transl[None]),
+            pose[None, :3], pose[None, 3:], transl=transl[None],
         )
         img = rasterize(out.vertices[0], colors, scales, quats, opac, cam,
                         jnp.ones(3), config=cfg)
         white = rasterize(out.vertices[0], jnp.ones_like(colors), scales, quats,
                           opac, cam, jnp.zeros(3), config=cfg)
+        return img, white
+
+    def render_frame(pose, transl):
+        img, white = _render_jit(jnp.asarray(pose), jnp.asarray(transl))
         mask = np.asarray(white).max(0) > 0.5
         return np.clip(np.asarray(img), 0, 1), mask
 

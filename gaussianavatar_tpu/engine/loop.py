@@ -125,10 +125,13 @@ def train(
                 state, feed, jnp.float32(w_rgl), jnp.float32(pose_gate), jnp.float32(lpips_gate)
             )
             loss = float(terms["total"])
+            if first_iter == epoch_start * steps_per_epoch + 1:
+                t_start = time.time()  # exclude the first-step compile from it/s
             ema_loss = 0.4 * loss + 0.6 * ema_loss
             if first_iter % 10 == 0 or first_iter == epoch_start * steps_per_epoch + 1:
                 dt = time.time() - t_start
-                print(f"iter {first_iter} epoch {epoch} loss {ema_loss:.5f} ({first_iter / max(dt, 1e-9):.2f} it/s)")
+                steps_done = max(first_iter - epoch_start * steps_per_epoch - 1, 1)
+                print(f"iter {first_iter} epoch {epoch} loss {ema_loss:.5f} ({steps_done / max(dt, 1e-9):.2f} it/s)")
                 logger.log(first_iter, {**{k: float(v) for k, v in terms.items()},
                                         "iter_time": dt / max(first_iter - epoch_start * steps_per_epoch, 1)})
             if (first_iter - 1) % opt.log_iter == 0:
