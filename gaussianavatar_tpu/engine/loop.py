@@ -124,11 +124,14 @@ def train(
             state, terms, images = step_fn(
                 state, feed, jnp.float32(w_rgl), jnp.float32(pose_gate), jnp.float32(lpips_gate)
             )
-            loss = float(terms["total"])
             if first_iter == epoch_start * steps_per_epoch + 1:
+                jax.block_until_ready(terms["total"])
                 t_start = time.time()  # exclude the first-step compile from it/s
-            ema_loss = 0.4 * loss + 0.6 * ema_loss
+            # fetch losses only on log steps: a per-step float() sync stalls
+            # the async dispatch pipeline (~4x wall slowdown over the tunnel)
             if first_iter % 10 == 0 or first_iter == epoch_start * steps_per_epoch + 1:
+                loss = float(terms["total"])
+                ema_loss = 0.4 * loss + 0.6 * ema_loss if ema_loss else loss
                 dt = time.time() - t_start
                 steps_done = max(first_iter - epoch_start * steps_per_epoch - 1, 1)
                 print(f"iter {first_iter} epoch {epoch} loss {ema_loss:.5f} ({steps_done / max(dt, 1e-9):.2f} it/s)")
