@@ -21,7 +21,12 @@ from gaussianavatar_tpu.engine import checkpoint as ckpt
 from gaussianavatar_tpu.engine.logging_utils import MetricsLogger
 from gaussianavatar_tpu.engine.optim import build_optimizer
 from gaussianavatar_tpu.engine.setup import AvatarBundle, setup_avatar
-from gaussianavatar_tpu.engine.train_step import TrainState, init_state, make_train_step
+from gaussianavatar_tpu.engine.train_step import (
+    TrainState,
+    init_state,
+    make_train_step,
+    make_train_step_scan,
+)
 from gaussianavatar_tpu.ops.rasterize import RasterizeConfig
 from gaussianavatar_tpu.utils.obj_io import save_ply_points
 
@@ -104,6 +109,14 @@ def train(
         H, W, bg, raster_config(cfg), train_stage=mp.train_stage,
         lpips_fn=lpips_fn, aiap_nn=aiap_nn,
     )
+    spd = max(int(getattr(opt, "steps_per_dispatch", 1)), 1)
+    multi_fn = None
+    if spd > 1:
+        multi_fn = make_train_step_scan(
+            bundle.net, bundle.body_model, bundle.assets, tx, opt,
+            H, W, bg, raster_config(cfg), train_stage=mp.train_stage,
+            lpips_fn=lpips_fn, aiap_nn=aiap_nn,
+        )
 
     first_iter = epoch_start * steps_per_epoch
     ema_loss = 0.0
@@ -116,20 +129,47 @@ def train(
         pose_gate = float(mp.train_stage == 1 and epoch > opt.pose_op_start_iter)
         lpips_gate = float(lpips_fn is not None and epoch > opt.lpips_start_iter)
 
-        for batch in loader:
-            first_iter += 1
-            feed = {k: v for k, v in batch.items() if k not in drop_keys}
-            if "inp_pos_map" in feed and feed["inp_pos_map"].shape[1] == 3:
-                feed["inp_pos_map"] = feed["inp_pos_map"].transpose(0, 2, 3, 1)
-            state, terms, images = step_fn(
-                state, feed, jnp.float32(w_rgl), jnp.float32(pose_gate), jnp.float32(lpips_gate)
-            )
-            if first_iter == epoch_start * steps_per_epoch + 1:
+        batch_iter = iter(loader)
+        while True:
+            group = []
+            target = spd if multi_fn is not None else 1
+            for batch in batch_iter:
+                group.append(batch)
+                if len(group) == target:
+                    break
+            if not group:
+                break
+            feeds = []
+            for batch in group:
+                feed = {k: v for k, v in batch.items() if k not in drop_keys}
+                if "inp_pos_map" in feed and feed["inp_pos_map"].shape[1] == 3:
+                    feed["inp_pos_map"] = feed["inp_pos_map"].transpose(0, 2, 3, 1)
+                feeds.append(feed)
+            if multi_fn is not None and len(feeds) == spd:
+                stacked = {k: np.stack([f[k] for f in feeds]) for k in feeds[0]}
+                state, terms_s, images = multi_fn(
+                    state, stacked, jnp.float32(w_rgl), jnp.float32(pose_gate), jnp.float32(lpips_gate)
+                )
+                terms = {k: v[-1] for k, v in terms_s.items()}
+                first_iter += spd
+            else:
+                for feed in feeds[:-1]:
+                    state, terms, images = step_fn(
+                        state, feed, jnp.float32(w_rgl), jnp.float32(pose_gate), jnp.float32(lpips_gate)
+                    )
+                    first_iter += 1
+                feed = feeds[-1]
+                state, terms, images = step_fn(
+                    state, feed, jnp.float32(w_rgl), jnp.float32(pose_gate), jnp.float32(lpips_gate)
+                )
+                first_iter += 1
+            batch = group[-1]
+            if first_iter <= epoch_start * steps_per_epoch + spd:
                 jax.block_until_ready(terms["total"])
                 t_start = time.time()  # exclude the first-step compile from it/s
             # fetch losses only on log steps: a per-step float() sync stalls
             # the async dispatch pipeline (~4x wall slowdown over the tunnel)
-            if first_iter % 10 == 0 or first_iter == epoch_start * steps_per_epoch + 1:
+            if first_iter % 10 < spd or first_iter <= epoch_start * steps_per_epoch + spd:
                 loss = float(terms["total"])
                 ema_loss = 0.4 * loss + 0.6 * ema_loss if ema_loss else loss
                 dt = time.time() - t_start
