@@ -32,6 +32,7 @@ def main(argv=None):
     from gaussianavatar_tpu.data.dataset import MonoDatasetTest
     from gaussianavatar_tpu.engine.inference import (
         batch_from_item,
+        load_fixed_inp,
         load_trained,
         make_renderer,
     )
@@ -46,6 +47,7 @@ def main(argv=None):
     item0 = test_ds[0]
     H, W = int(item0["height"]), int(item0["width"])
     render = make_renderer(inf, H, W)
+    fix_inp = load_fixed_inp(cfg)
     lpips_fn = try_load_lpips(cfg.model.project_path)
 
     out_dir = join(cfg.model.model_path, "test_free")
@@ -55,7 +57,7 @@ def main(argv=None):
     psnrs, ssims, lpipss = [], [], []
     for i in range(len(test_ds)):
         item = test_ds[i]
-        batch = batch_from_item(item)
+        batch = batch_from_item(item, fix_inp)
         img = np.asarray(render(inf.state.params, inf.state.batch_stats, batch))
         img = np.clip(img, 0.0, 1.0)
         gt = item["original_image"][None]

@@ -94,6 +94,9 @@ class _MonoBase:
         self.smpl_type = model_parms.smpl_type
         self.train_stage = model_parms.train_stage
         self.inp_posmap_size = model_parms.inp_posmap_size
+        # fixed_inp: a single static posmap replaces per-frame inp_map files
+        # (injected by the train loop; avatar_model.py:70-72)
+        self.fixed_inp = bool(getattr(model_parms, "fixed_inp", 0))
 
         parms_name = "smpl_parms.pth" if model_parms.train_stage == 1 else "smpl_parms_pred.pth"
         self.smpl_data = load_smpl_parms(join(self.data_folder, parms_name))
@@ -186,7 +189,7 @@ class MonoDatasetTrain(_MonoBase):
         item.update(_camera_item(R, T, intrinsic, height, width))
         if self.smpl_type == "smplx":
             item["rest_pose"] = self.rest_pose_data[pose_idx]
-        if self.train_stage == 2:
+        if self.train_stage == 2 and not self.fixed_inp:
             item["inp_pos_map"] = self._load_inp_posmap(pose_idx)
         return item
 
@@ -207,7 +210,7 @@ class MonoDatasetTest(_MonoBase):
         item.update(_camera_item(R, T, intrinsic, height, width))
         if self.smpl_type == "smplx":
             item["rest_pose"] = self.rest_pose_data[pose_idx]
-        if self.train_stage == 2:
+        if self.train_stage == 2 and not self.fixed_inp:
             item["inp_pos_map"] = self._load_inp_posmap(pose_idx)
         return item
 
@@ -327,7 +330,7 @@ class MonoDatasetNovelView(_MonoBase):
         item.update(_camera_item(R, T, self.intrinsic, height, width))
         if self.smpl_type == "smplx":
             item["rest_pose"] = self.rest_pose_data[pose_idx]
-        if self.train_stage == 2:
+        if self.train_stage == 2 and not self.fixed_inp:
             item["inp_pos_map"] = self._load_inp_posmap(pose_idx)
         return item
 

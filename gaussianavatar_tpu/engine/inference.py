@@ -53,11 +53,24 @@ def make_renderer(inf: InferenceBundle, height: int, width: int):
     )
 
 
-def batch_from_item(item: dict) -> dict:
+def load_fixed_inp(cfg: Config):
+    """The static input posmap for --fixed_inp stage-2 models (or None)."""
+    if cfg.model.train_stage != 2 or not cfg.model.fixed_inp:
+        return None
+    path = join(
+        cfg.model.source_path, "train",
+        f"query_posemap_{cfg.model.inp_posmap_size}_cano_{cfg.model.smpl_type}.npz",
+    )
+    return np.load(path)["posmap" + str(cfg.model.inp_posmap_size)].astype(np.float32)
+
+
+def batch_from_item(item: dict, fix_inp=None) -> dict:
     """Dataset item -> single-frame batch for the jitted renderer."""
     drop = {"FovX", "FovY", "height", "width", "projection_matrix",
             "camera_center", "original_image"}
     batch = {k: np.asarray(v)[None] for k, v in item.items() if k not in drop}
-    if "inp_pos_map" in batch and batch["inp_pos_map"].shape[1] == 3:
+    if fix_inp is not None:
+        batch["inp_pos_map"] = fix_inp[None]
+    elif "inp_pos_map" in batch and batch["inp_pos_map"].shape[1] == 3:
         batch["inp_pos_map"] = batch["inp_pos_map"].transpose(0, 2, 3, 1)
     return batch

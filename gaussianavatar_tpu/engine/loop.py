@@ -96,6 +96,17 @@ def train(
     if mp.train_stage == 2:
         state = stage_load(state, mp.stage1_out_path)
 
+    fix_inp = None
+    if mp.train_stage == 2 and mp.fixed_inp:
+        # reference fixed_inp: one static input posmap for every frame
+        # (avatar_model.py:70-72): the canonical posmap at inp resolution
+        path = os.path.join(
+            mp.source_path, "train",
+            f"query_posemap_{mp.inp_posmap_size}_cano_{mp.smpl_type}.npz",
+        )
+        fix_inp = np.load(path)["posmap" + str(mp.inp_posmap_size)].astype(np.float32)
+        print(f"fixed_inp: using static posmap {path}")
+
     aiap_nn = None
     if getattr(opt, "use_aiap", False):
         from gaussianavatar_tpu.ops.knn import host_knn
@@ -142,7 +153,11 @@ def train(
             feeds = []
             for batch in group:
                 feed = {k: v for k, v in batch.items() if k not in drop_keys}
-                if "inp_pos_map" in feed and feed["inp_pos_map"].shape[1] == 3:
+                if fix_inp is not None:
+                    feed["inp_pos_map"] = np.broadcast_to(
+                        fix_inp[None], (batch["pose_idx"].shape[0],) + fix_inp.shape
+                    )
+                elif "inp_pos_map" in feed and feed["inp_pos_map"].shape[1] == 3:
                     feed["inp_pos_map"] = feed["inp_pos_map"].transpose(0, 2, 3, 1)
                 feeds.append(feed)
             if multi_fn is not None and len(feeds) == spd:

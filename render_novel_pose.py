@@ -34,6 +34,7 @@ def main(argv=None):
     from gaussianavatar_tpu.data.dataset import MonoDatasetNovelPose
     from gaussianavatar_tpu.engine.inference import (
         batch_from_item,
+        load_fixed_inp,
         load_trained,
         make_renderer,
     )
@@ -41,13 +42,14 @@ def main(argv=None):
     inf = load_trained(cfg, args.epoch)
     ds = MonoDatasetNovelPose(cfg.model, height=args.image_size, width=args.image_size)
     render = make_renderer(inf, args.image_size, args.image_size)
+    fix_inp = load_fixed_inp(cfg)
 
     out_dir = join(cfg.model.model_path, "novel_pose")
     os.makedirs(out_dir, exist_ok=True)
     print(f"rendering {len(ds)} novel poses at {args.image_size}^2 (epoch {inf.epoch})")
 
     for i in range(len(ds)):
-        batch = batch_from_item(ds[i])
+        batch = batch_from_item(ds[i], fix_inp)
         img = np.asarray(render(inf.state.params, inf.state.batch_stats, batch))[0]
         png = (np.clip(img, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
         Image.fromarray(png).save(join(out_dir, f"{i:05d}.png"))

@@ -109,3 +109,35 @@ def test_gen_pose_map_cano_script(tmp_path):
     # lbs rows of valid points sum to ~1
     ql = np.asarray(assets.query_lbs)[: assets.num_valid]
     np.testing.assert_allclose(ql.sum(-1), 1.0, atol=1e-4)
+
+
+def test_fixed_inp_stage2(tmp_path):
+    """--fixed_inp 1: stage 2 trains and evals from ONE static posmap with no
+    per-frame inp_map files (avatar_model.py:70-72)."""
+    from gaussianavatar_tpu.data.synthetic_writer import write_synthetic_dataset
+
+    data = str(tmp_path / "data")
+    out1 = str(tmp_path / "s1")
+    out2 = str(tmp_path / "s2")
+    write_synthetic_dataset(data, n_train=4, n_test=2, image_size=64)
+
+    import train as train_cli
+
+    train_cli.main(["-s", data, "-m", out1, *SMALL_ARGS,
+                    "--epochs", "1", "--save_epochs", "0", "--no_lpips"])
+    run_script("export_stage_1.py", "-m", out1, "-s", data, "--epoch", "1")
+    # the fixed posmap at inp resolution (no per-frame inp_map generated!)
+    run_script("gen_pose_map_cano.py", "--source_path", data, "--synthetic",
+               "--project_path", str(tmp_path), "--sizes", "32")
+
+    train_cli.main(["-s", data, "-m", out2, *SMALL_ARGS,
+                    "--train_stage", "2", "--fixed_inp", "1",
+                    "--stage1_out_path", join(out1, "net", "iteration_1"),
+                    "--epochs", "1", "--save_epochs", "0", "--no_lpips"])
+    assert os.path.exists(join(out2, "net", "iteration_1"))
+
+    import eval as eval_cli
+
+    eval_cli.main(["-m", out2])
+    results = open(join(out2, "test_free", "results.txt")).read()
+    assert "psnr:" in results
