@@ -19,7 +19,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gaussianavatar_tpu.engine.train_step import make_render_fn
+    from gaussianavatar_tpu.engine.train_step import make_cached_render_fn, precompute_canonical
     from gaussianavatar_tpu.engine.optim import build_optimizer
     from gaussianavatar_tpu.engine.train_step import init_state
     from gaussianavatar_tpu.config import OptimizationParams
@@ -61,7 +61,9 @@ def main():
     state = init_state(net, assets, _TX0(), batch_size=B)
 
     raster_cfg = RasterizeConfig(tile_size=32, tile_capacity=512, max_tiles_per_gaussian=16)
-    render = make_render_fn(net, model, assets, H, W, (1.0, 1.0, 1.0), raster_cfg)
+    # stage-1 canonical gaussians are pose-independent: precompute once
+    cache = precompute_canonical(net, assets, state.params, state.batch_stats)
+    render = make_cached_render_fn(net, model, assets, H, W, (1.0, 1.0, 1.0), raster_cfg)
 
     def batch_for(i):
         idx = (jnp.arange(B, dtype=jnp.int32) + i) % NF
@@ -79,13 +81,13 @@ def main():
     it = jnp.int32(10)
 
     # warm up / compile
-    img = render(state.params, state.batch_stats, batch_for(0), it)
+    img = render(cache, state.params, batch_for(0), it)
     img.block_until_ready()
 
     n_calls = 30
     t0 = time.time()
     for i in range(n_calls):
-        img = render(state.params, state.batch_stats, batch_for(i * B % NF), it)
+        img = render(cache, state.params, batch_for(i * B % NF), it)
     img.block_until_ready()
     dt = (time.time() - t0) / (n_calls * B)
     fps = 1.0 / dt

@@ -14,7 +14,13 @@ from gaussianavatar_tpu.engine import checkpoint as ckpt
 from gaussianavatar_tpu.engine.loop import raster_config
 from gaussianavatar_tpu.engine.optim import build_optimizer
 from gaussianavatar_tpu.engine.setup import AvatarBundle, setup_avatar
-from gaussianavatar_tpu.engine.train_step import TrainState, init_state, make_render_fn
+from gaussianavatar_tpu.engine.train_step import (
+    TrainState,
+    init_state,
+    make_cached_render_fn,
+    make_render_fn,
+    precompute_canonical,
+)
 
 
 class InferenceBundle(NamedTuple):
@@ -45,8 +51,24 @@ def load_trained(cfg: Config, epoch: Optional[int] = None) -> InferenceBundle:
 
 
 def make_renderer(inf: InferenceBundle, height: int, width: int):
+    """Returns render(params, batch_stats, batch, iteration=...). Stage-1
+    models render from a precomputed canonical-gaussian cache (the decoder is
+    pose-independent); stage 2 runs the full decode per frame."""
     cfg, bundle = inf.cfg, inf.bundle
     bg = (1.0, 1.0, 1.0) if cfg.model.white_background else (0.0, 0.0, 0.0)
+    if cfg.model.train_stage == 1:
+        cache = precompute_canonical(
+            bundle.net, bundle.assets, inf.state.params, inf.state.batch_stats
+        )
+        cached = make_cached_render_fn(
+            bundle.net, bundle.body_model, bundle.assets,
+            height, width, bg, raster_config(cfg),
+        )
+
+        def render(params, batch_stats, batch, *a, **kw):
+            return cached(cache, params, batch, *a, **kw)
+
+        return render
     return make_render_fn(
         bundle.net, bundle.body_model, bundle.assets,
         height, width, bg, raster_config(cfg),

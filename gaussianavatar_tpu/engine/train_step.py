@@ -243,6 +243,61 @@ def make_render_fn(
     return render
 
 
+def precompute_canonical(net: AvatarNet, assets: AvatarAssets, params, batch_stats):
+    """Stage-1 decoder outputs are pose-independent: compute the canonical
+    offsets/scales/colors ONCE for inference (the reference re-runs the whole
+    decoder per frame, render_free_stage1 avatar_model.py:495-497)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def run(module):
+        return module.decode(assets, 1, train=False)
+
+    res, scales, shs, _ = net.apply(variables, method=run)
+    return res[0], scales[0], shs[0]  # (Nv, ...)
+
+
+def make_cached_render_fn(
+    net: AvatarNet,
+    body_model: BodyModel,
+    assets: AvatarAssets,
+    H: int,
+    W: int,
+    bg_color,
+    raster_cfg: RasterizeConfig,
+):
+    """Stage-1 novel-pose renderer over a precomputed canonical cache:
+    per frame only LBS -> skinning -> splatting runs (~2x the full-decode
+    path at the benchmark workload)."""
+    render_views = make_render_views(H, W, bg_color, raster_cfg)
+
+    @jax.jit
+    def render(cache, params, batch, iteration=jnp.int32(10**6)):
+        res, scales, shs = cache
+        idx = batch["pose_idx"]
+        B = idx.shape[0]
+        if "pose_data" in batch:
+            pose, transl = batch["pose_data"], batch["transl_data"]
+        else:
+            pose = params["pose_embedding"][idx]
+            transl = params["transl_embedding"][idx]
+        res_b = jnp.broadcast_to(res[None], (B,) + res.shape)
+        world = pose_gaussians(
+            body_model, assets, pose, transl, res_b, rest_pose=batch.get("rest_pose")
+        )
+        scales_w = scale_warmup(scales[None], iteration)
+        scales3, rotations, opacity = gaussian_attributes(
+            assets, jnp.broadcast_to(scales_w, (B,) + scales.shape), shs
+        )
+        shs_b = jnp.broadcast_to(shs[None], (B,) + shs.shape)
+        return render_views(
+            world, shs_b, scales3, rotations, opacity,
+            batch["world_view_transform"], batch["full_proj_transform"],
+            batch["tan_fovx"], batch["tan_fovy"],
+        )
+
+    return render
+
+
 def init_state(
     net: AvatarNet,
     assets: AvatarAssets,

@@ -209,3 +209,30 @@ def test_pose_opt_gate_freezes_embeddings():
     after = np.asarray(state.params["pose_embedding"])
     assert np.abs(after[:2] - before[:2]).max() > 0  # batch rows moved
     np.testing.assert_array_equal(after[2:], before[2:])  # untouched rows frozen
+
+
+def test_cached_render_matches_full():
+    """Stage-1 cached-canonical rendering must equal the full-decode path."""
+    from gaussianavatar_tpu.engine.train_step import (
+        make_cached_render_fn,
+        make_render_fn,
+        precompute_canonical,
+    )
+
+    model, assets, cam, poses, transls, gts = fixture()
+    net = AvatarNet(
+        num_frames=N_FRAMES, pose_dim=poses.shape[1], c_geom=16, c_pose=16,
+        inp_posmap_size=32, hsize=64, nf=8, train_stage=1,
+        pose_init=poses, transl_init=transls,
+    )
+    state = init_state(net, assets, None_safe_tx(), batch_size=1)
+    batch = make_batch(cam, poses, transls, gts, [1])
+
+    full = make_render_fn(net, model, assets, H, W, (1.0, 1.0, 1.0), RASTER_CFG)
+    img_full = full(state.params, state.batch_stats, batch)
+
+    cache = precompute_canonical(net, assets, state.params, state.batch_stats)
+    cached = make_cached_render_fn(net, model, assets, H, W, (1.0, 1.0, 1.0), RASTER_CFG)
+    img_cached = cached(cache, state.params, batch)
+
+    np.testing.assert_allclose(np.asarray(img_cached), np.asarray(img_full), atol=1e-5)
