@@ -24,6 +24,7 @@ from gaussianavatar_tpu.engine.setup import AvatarBundle, setup_avatar
 from gaussianavatar_tpu.engine.train_step import (
     TrainState,
     init_state,
+    make_debug_points_fn,
     make_train_step,
     make_train_step_scan,
 )
@@ -129,6 +130,8 @@ def train(
             lpips_fn=lpips_fn, aiap_nn=aiap_nn,
         )
 
+    debug_points = make_debug_points_fn(bundle.net, bundle.body_model, bundle.assets)
+
     first_iter = epoch_start * steps_per_epoch
     ema_loss = 0.0
     t_start = time.time()
@@ -195,6 +198,10 @@ def train(
             if (first_iter - 1) % opt.log_iter == 0:
                 save_image_grid(join(mp.model_path, "log", f"{first_iter:05d}_pred.png"), np.asarray(images))
                 save_image_grid(join(mp.model_path, "log", f"{first_iter:05d}_gt.png"), batch["original_image"])
+                # posed point-cloud dump (reference train.py:106-111)
+                if debug_points is not None:
+                    pts = np.asarray(debug_points(state.params, state.batch_stats, feeds[-1]))
+                    save_ply_points(join(mp.model_path, "log", f"pred_{first_iter:05d}.ply"), pts)
             if max_steps is not None and first_iter >= max_steps:
                 done = True
                 break

@@ -18,7 +18,6 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 
 from gaussianavatar_tpu.models.avatar import (
@@ -29,8 +28,7 @@ from gaussianavatar_tpu.models.avatar import (
     scale_warmup,
 )
 from gaussianavatar_tpu.models.body import BodyModel
-from gaussianavatar_tpu.ops.camera import Camera
-from gaussianavatar_tpu.ops.rasterize import RasterizeConfig, rasterize
+from gaussianavatar_tpu.ops.rasterize import RasterizeConfig
 from gaussianavatar_tpu.ops.ssim import l1_loss, ssim
 
 
@@ -241,6 +239,21 @@ def make_render_fn(
         )
 
     return render
+
+
+def make_debug_points_fn(net: AvatarNet, body_model: BodyModel, assets: AvatarAssets):
+    """Posed world points of the first batch item — the reference's periodic
+    PLY dump payload (train.py:107-111)."""
+
+    @jax.jit
+    def points(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        world, *_ = _forward_gaussians(
+            net, variables, body_model, assets, batch, jnp.int32(10**6), False, False
+        )
+        return world[0, : assets.num_valid]
+
+    return points
 
 
 def precompute_canonical(net: AvatarNet, assets: AvatarAssets, params, batch_stats):

@@ -42,7 +42,6 @@ from gaussianavatar_tpu.ops.rasterize_ref import (
     ALPHA_MAX,
     ALPHA_MIN,
     T_EPS,
-    _clamp_alpha_straight_through,
     blend_pixels,
 )
 
