@@ -54,23 +54,31 @@ def main(argv=None):
     os.makedirs(join(out_dir, "renders"), exist_ok=True)
     os.makedirs(join(out_dir, "gt"), exist_ok=True)
 
+    # render the split in fixed-size batches (pad the tail by repeating the
+    # last frame; padded outputs are discarded) — one compiled program total
+    EVAL_B = 4
     psnrs, ssims, lpipss = [], [], []
-    for i in range(len(test_ds)):
-        item = test_ds[i]
-        batch = batch_from_item(item, fix_inp)
-        img = np.asarray(render(inf.state.params, inf.state.batch_stats, batch))
-        img = np.clip(img, 0.0, 1.0)
-        gt = item["original_image"][None]
+    n = len(test_ds)
+    for start in range(0, n, EVAL_B):
+        idxs = list(range(start, min(start + EVAL_B, n)))
+        pad = [idxs[-1]] * (EVAL_B - len(idxs))
+        items = [test_ds[i] for i in idxs + pad]
+        singles = [batch_from_item(it, fix_inp) for it in items]
+        batch = {k: np.concatenate([s[k] for s in singles]) for k in singles[0]}
+        imgs = np.asarray(render(inf.state.params, inf.state.batch_stats, batch))
+        imgs = np.clip(imgs, 0.0, 1.0)
 
-        psnrs.append(float(psnr(img, gt)[0, 0]))
-        ssims.append(float(ssim(jnp.asarray(img), jnp.asarray(gt))))
-        if lpips_fn is not None:
-            lpipss.append(float(lpips_fn(jnp.asarray(img) * 2 - 1, jnp.asarray(gt) * 2 - 1)))
-
-        for name, arr in (("renders", img[0]), ("gt", gt[0])):
-            png = (np.clip(arr, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
-            Image.fromarray(png).save(join(out_dir, name, f"{i:04d}.png"))
-        print(f"frame {i}: psnr {psnrs[-1]:.2f} ssim {ssims[-1]:.4f}")
+        for j, i in enumerate(idxs):
+            img = imgs[j : j + 1]
+            gt = items[j]["original_image"][None]
+            psnrs.append(float(psnr(img, gt)[0, 0]))
+            ssims.append(float(ssim(jnp.asarray(img), jnp.asarray(gt))))
+            if lpips_fn is not None:
+                lpipss.append(float(lpips_fn(jnp.asarray(img) * 2 - 1, jnp.asarray(gt) * 2 - 1)))
+            for name, arr in (("renders", img[0]), ("gt", gt[0])):
+                png = (np.clip(arr, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
+                Image.fromarray(png).save(join(out_dir, name, f"{i:04d}.png"))
+            print(f"frame {i}: psnr {psnrs[-1]:.2f} ssim {ssims[-1]:.4f}")
 
     lines = [
         f"psnr: {np.mean(psnrs):.6f}",
