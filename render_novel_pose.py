@@ -48,13 +48,20 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     print(f"rendering {len(ds)} novel poses at {args.image_size}^2 (epoch {inf.epoch})")
 
-    for i in range(len(ds)):
-        batch = batch_from_item(ds[i], fix_inp)
-        img = np.asarray(render(inf.state.params, inf.state.batch_stats, batch))[0]
-        png = (np.clip(img, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
-        Image.fromarray(png).save(join(out_dir, f"{i:05d}.png"))
-        if i % 50 == 0:
-            print(f"frame {i}/{len(ds)}")
+    # animation rendering is a batch workload: 4 frames per device dispatch
+    REN_B = 4
+    n = len(ds)
+    for start in range(0, n, REN_B):
+        idxs = list(range(start, min(start + REN_B, n)))
+        pad = [idxs[-1]] * (REN_B - len(idxs))
+        singles = [batch_from_item(ds[i], fix_inp) for i in idxs + pad]
+        batch = {k: np.concatenate([s[k] for s in singles]) for k in singles[0]}
+        imgs = np.asarray(render(inf.state.params, inf.state.batch_stats, batch))
+        for j, i in enumerate(idxs):
+            png = (np.clip(imgs[j], 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
+            Image.fromarray(png).save(join(out_dir, f"{i:05d}.png"))
+        if start % 48 == 0:
+            print(f"frame {start}/{n}")
 
     if args.video:
         from gaussianavatar_tpu.utils.video import save_video
