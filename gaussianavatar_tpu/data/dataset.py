@@ -41,16 +41,13 @@ ZNEAR, ZFAR = 0.01, 100.0
 
 
 def load_smpl_parms(path: str) -> Dict[str, np.ndarray]:
-    """Read smpl_parms.pth (torch) or .npz into numpy."""
+    """Read smpl_parms.pth (torch-zip, no torch needed) or .npz into numpy."""
     if path.endswith(".npz") or (not os.path.exists(path) and os.path.exists(path + ".npz")):
         path = path if path.endswith(".npz") else path + ".npz"
         return {k: np.asarray(v) for k, v in np.load(path).items()}
-    import torch
+    from gaussianavatar_tpu.utils.torch_pth import load_pth
 
-    data = torch.load(path, map_location="cpu", weights_only=False)
-    return {
-        k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v)) for k, v in data.items()
-    }
+    return {k: np.asarray(v) for k, v in load_pth(path).items()}
 
 
 def _camera_item(R, T, intrinsic, height, width):

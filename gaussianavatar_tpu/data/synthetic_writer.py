@@ -94,10 +94,7 @@ def write_synthetic_dataset(
             "body_pose": np.stack(poses),
             "trans": np.stack(transls),
         }
-        try:
-            import torch
+        from gaussianavatar_tpu.utils.torch_pth import save_pth
 
-            torch.save({k: torch.from_numpy(v) for k, v in parms.items()}, join(d, "smpl_parms.pth"))
-        except ImportError:
-            np.savez(join(d, "smpl_parms.pth.npz"), **parms)
+        save_pth(parms, join(d, "smpl_parms.pth"))
     return model, uv, cam

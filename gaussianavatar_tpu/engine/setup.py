@@ -51,13 +51,12 @@ def _load_reference_assets(mp, betas: np.ndarray, J: int) -> Optional[AvatarAsse
     if not all(os.path.exists(p) for p in paths):
         return None
 
-    import torch
+    from gaussianavatar_tpu.utils.torch_pth import load_pth
 
     query_map = np.load(query_map_path)["posmap" + str(R)].reshape(-1, 3)
     lbs_map = np.load(lbs_path).reshape(R * R, J)
     faceid = np.load(mask_path).reshape(-1)
-    cano_mats = torch.load(mat_path, map_location="cpu", weights_only=False)
-    cano_mats = cano_mats.numpy() if hasattr(cano_mats, "numpy") else np.asarray(cano_mats)
+    cano_mats = np.asarray(load_pth(mat_path))
     inv_mats = np.linalg.inv(cano_mats.reshape(J, 4, 4))
 
     valid_idx = np.flatnonzero(faceid != -1).astype(np.int32)

@@ -23,6 +23,7 @@ def main():
 
     from gaussianavatar_tpu.data.dataset import load_smpl_parms
     from gaussianavatar_tpu.engine import checkpoint as ckpt
+    from gaussianavatar_tpu.utils.torch_pth import save_pth
 
     epoch = args.epoch or ckpt.latest_epoch(args.model_path)
     path = join(ckpt.ckpt_dir(args.model_path, epoch), ckpt.CKPT_NAME)
@@ -35,25 +36,15 @@ def main():
     orig = load_smpl_parms(join(train_dir, "smpl_parms.pth"))
     out = {"beta": orig["beta"], "body_pose": pose, "trans": transl}
 
-    try:
-        import torch
-
-        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in out.items()},
-                   join(train_dir, "smpl_parms_pred.pth"))
-    except ImportError:
-        np.savez(join(train_dir, "smpl_parms_pred.pth.npz"), **out)
+    save_pth({k: np.asarray(v) for k, v in out.items()},
+             join(train_dir, "smpl_parms_pred.pth"))
 
     # the test split keeps its original (untouched) poses under the pred name
     test_dir = join(args.source_path, "test")
     if os.path.isdir(test_dir):
         torig = load_smpl_parms(join(test_dir, "smpl_parms.pth"))
-        try:
-            import torch
-
-            torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in torig.items()},
-                       join(test_dir, "smpl_parms_pred.pth"))
-        except ImportError:
-            np.savez(join(test_dir, "smpl_parms_pred.pth.npz"), **torig)
+        save_pth({k: np.asarray(v) for k, v in torig.items()},
+                 join(test_dir, "smpl_parms_pred.pth"))
     print(f"exported epoch {epoch} poses: {pose.shape} -> smpl_parms_pred.pth")
 
 

@@ -46,6 +46,7 @@ def main():
     from gaussianavatar_tpu.models.body import load_body_model
     from gaussianavatar_tpu.ops.uv_raster import bary_interpolate, rasterize_uv_atlas
     from gaussianavatar_tpu.utils.obj_io import load_obj, save_obj
+    from gaussianavatar_tpu.utils.torch_pth import save_pth
     from gaussianavatar_tpu.utils.synthetic import synthetic_body
 
     if args.synthetic:
@@ -78,13 +79,7 @@ def main():
     J = A.shape[0]
 
     save_obj(join(args.source_path, "cano_smpl.obj"), cano_verts, model.faces)
-    try:
-        import torch
-
-        mat_blob = torch.from_numpy(A)
-        save_mat = lambda p: torch.save(mat_blob, p)
-    except ImportError:
-        save_mat = lambda p: np.save(p + ".npy", A)
+    save_mat = lambda p: save_pth(A, p)
 
     os.makedirs(join(args.project_path, "assets", "uv_masks"), exist_ok=True)
     for R in args.sizes:

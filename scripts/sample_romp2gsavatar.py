@@ -17,6 +17,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gaussianavatar_tpu.utils.torch_pth import save_pth  # noqa: E402
+
 
 def instantavatar_split(n: int):
     """InstantAvatar rule: first ~80% train (every frame), last 20% test."""
@@ -78,13 +80,7 @@ def main():
             "body_pose": np.stack(sp).astype(np.float32),
             "trans": np.stack(st).astype(np.float32),
         }
-        try:
-            import torch
-
-            torch.save({k: torch.from_numpy(v) for k, v in parms.items()},
-                       join(d, "smpl_parms.pth"))
-        except ImportError:
-            np.savez(join(d, "smpl_parms.pth.npz"), **parms)
+        save_pth(parms, join(d, "smpl_parms.pth"))
         print(f"{split}: {len(ids)} frames")
     print("done ->", args.output)
 

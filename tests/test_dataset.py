@@ -82,3 +82,24 @@ def test_batch_loader(data_root):
     assert len(batches) == 2  # 5 // 2, drop_last
     assert batches[0]["original_image"].shape == (2, 3, 48, 48)
     assert batches[0]["pose_idx"].shape == (2,)
+
+
+REF_TEST_POSE = "/root/reference/assets/test_pose"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TEST_POSE), reason="reference assets absent")
+def test_novel_pose_reads_reference_shipped_asset():
+    """The reference ships 480 demo poses as a torch .pth + static camera
+    (assets/test_pose, dataset_mono.py:419-522); the torch-free reader must
+    drive MonoDatasetNovelPose from them directly."""
+    from gaussianavatar_tpu.data.dataset import MonoDatasetNovelPose
+
+    mp = ModelParams(source_path="/tmp/x", model_path="/tmp/x")
+    mp.test_folder = REF_TEST_POSE
+    ds = MonoDatasetNovelPose(mp)  # default 1024x1024, like the reference
+    assert len(ds) == 480
+    item = ds[17]
+    assert item["pose_data"].shape == (72,)
+    assert item["transl_data"].shape == (3,)
+    assert int(item["height"]) == 1024
+    assert np.isfinite(item["full_proj_transform"]).all()
