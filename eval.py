@@ -80,12 +80,17 @@ def main(argv=None):
                 Image.fromarray(png).save(join(out_dir, name, f"{i:04d}.png"))
             print(f"frame {i}: psnr {psnrs[-1]:.2f} ssim {ssims[-1]:.4f}")
 
+    from gaussianavatar_tpu.ops.lpips import lpips_status
+
     lines = [
         f"psnr: {np.mean(psnrs):.6f}",
         f"ssim: {np.mean(ssims):.6f}",
     ]
     if lpipss:
         lines.append(f"lpips: {np.mean(lpipss):.6f}")
+    else:
+        # make the skipped metric visible instead of silently omitting it
+        lines.append(f"lpips: {lpips_status(cfg.model.project_path)}")
     report = "\n".join(lines)
     with open(join(out_dir, "results.txt"), "w") as f:
         f.write(report + "\n")

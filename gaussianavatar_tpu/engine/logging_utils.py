@@ -35,6 +35,12 @@ class MetricsLogger:
             for k, v in scalars.items():
                 self.tb.add_scalar(f"train_loss_patches/{k}", float(v), step)
 
+    def log_event(self, name: str, value):
+        """Non-scalar run facts (e.g. 'lpips: inactive (...)') — one JSON
+        record so a degraded configuration is visible in the log."""
+        self._f.write(json.dumps({"event": name, "value": value, "t": time.time()}) + "\n")
+        self._f.flush()
+
     def close(self):
         self._f.close()
         if self.tb is not None:

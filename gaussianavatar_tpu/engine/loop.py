@@ -42,6 +42,18 @@ def adjust_loss_weights(init_weight, current_epoch, mode="decay", start=0, every
     return init_weight * factor ** ((current_epoch - start) // every)
 
 
+def pose_opt_gate_value(train_stage: int, epoch: int, opt) -> float:
+    """Stage-1 per-frame pose refinement is epoch-gated (the reference
+    compares pose_op_start_iter against EPOCH, avatar_model.py:262,269)."""
+    return float(train_stage == 1 and epoch > opt.pose_op_start_iter)
+
+
+def lpips_gate_value(lpips_active: bool, epoch: int, opt) -> float:
+    """The 0.2*LPIPS term joins the loss after lpips_start_iter epochs
+    (reference train.py:89-91: `if epoch > 30`)."""
+    return float(lpips_active and epoch > opt.lpips_start_iter)
+
+
 def save_image_grid(path: str, images: np.ndarray):
     """(B, 3, H, W) in [0,1] -> horizontal grid PNG."""
     from PIL import Image
@@ -73,6 +85,11 @@ def train(
     os.makedirs(join(mp.model_path, "log"), exist_ok=True)
     cfg.save(join(mp.model_path, "cfg_args.json"))
     logger = MetricsLogger(mp.model_path)
+    from gaussianavatar_tpu.ops.lpips import lpips_status
+
+    logger.log_event(
+        "lpips", "active" if lpips_fn is not None else lpips_status(mp.project_path)
+    )
 
     bundle: AvatarBundle = setup_avatar(cfg, train=True)
     loader = BatchLoader(bundle.train_dataset, mp.batch_size, shuffle=True)
@@ -140,8 +157,8 @@ def train(
 
     for epoch in range(epoch_start + 1, opt.epochs + 1):
         w_rgl = adjust_loss_weights(opt.lambda_rgl, epoch, "decay", epoch_start, 20)
-        pose_gate = float(mp.train_stage == 1 and epoch > opt.pose_op_start_iter)
-        lpips_gate = float(lpips_fn is not None and epoch > opt.lpips_start_iter)
+        pose_gate = pose_opt_gate_value(mp.train_stage, epoch, opt)
+        lpips_gate = lpips_gate_value(lpips_fn is not None, epoch, opt)
 
         batch_iter = iter(loader)
         while True:

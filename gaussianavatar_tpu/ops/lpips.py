@@ -83,14 +83,85 @@ def load_lpips_weights(path: str) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(data[k]) for k in data.files}
 
 
+# torchvision AlexNet `features` indices of the 5 conv layers
+_TV_CONV_IDX = (0, 3, 6, 8, 10)
+
+
+def weights_from_pth(alexnet_pth: str, lins_pth: str) -> Dict[str, np.ndarray]:
+    """Build the weight dict directly from the user-supplied raw torch files —
+    the torchvision AlexNet state dict (`alexnet-owt-*.pth`) and the lpips
+    v0.1 linear heads (`lpips/weights/v0.1/alex.pth`) — via the torch-free
+    .pth reader. No torch, no lpips package, no network."""
+    from gaussianavatar_tpu.utils.torch_pth import load_pth
+
+    feat = load_pth(alexnet_pth)
+    if isinstance(feat, dict) and "state_dict" in feat:
+        feat = feat["state_dict"]
+    lins = load_pth(lins_pth)
+    if isinstance(lins, dict) and "state_dict" in lins:
+        lins = lins["state_dict"]
+
+    out: Dict[str, np.ndarray] = {}
+    for i, li in enumerate(_TV_CONV_IDX):
+        out[f"conv{i}_w"] = np.asarray(feat[f"features.{li}.weight"], np.float32)
+        out[f"conv{i}_b"] = np.asarray(feat[f"features.{li}.bias"], np.float32)
+        expect = _ALEX_CFG[i][0]
+        if out[f"conv{i}_w"].shape[0] != expect:
+            raise ValueError(
+                f"{alexnet_pth}: features.{li}.weight has "
+                f"{out[f'conv{i}_w'].shape[0]} out-channels, expected {expect}"
+            )
+    for i in range(5):
+        for k in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight",
+                  f"lin{i}.weight"):
+            if k in lins:
+                out[f"lin{i}"] = np.asarray(lins[k], np.float32).reshape(-1)
+                break
+        else:
+            raise KeyError(f"{lins_pth}: no lin{i} weight found "
+                           f"(keys: {sorted(lins)[:8]}...)")
+    return out
+
+
+_ALEXNET_PTH_NAMES = ("alexnet.pth", "alexnet-owt-7be5be79.pth",
+                      "alexnet-owt-4df8aa71.pth")
+_LINS_PTH_NAMES = ("alex.pth", "lpips_alex.pth", "alex_lins.pth")
+
+
+def _find(dirpath: str, names) -> Optional[str]:
+    for n in names:
+        p = os.path.join(dirpath, n)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def try_load_lpips(project_path: str) -> Optional[Callable]:
-    """Returns a jit-compatible lpips(img0, img1) -> scalar, or None."""
-    for cand in (
-        os.path.join(project_path, "assets", "lpips", "lpips_alex.npz"),
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-                     "assets", "lpips", "lpips_alex.npz"),
-    ):
-        if os.path.exists(cand):
-            weights = load_lpips_weights(cand)
+    """Returns a jit-compatible lpips(img0, img1) -> scalar, or None.
+
+    Search order per directory ({project}/assets/lpips, {repo}/assets/lpips):
+      1. lpips_alex.npz — pre-converted;
+      2. raw torch files dropped in by the user: a torchvision AlexNet state
+         dict + the lpips v0.1 'alex.pth' linear heads (read torch-free)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    for d in (os.path.join(project_path, "assets", "lpips"),
+              os.path.join(repo_root, "assets", "lpips")):
+        npz = os.path.join(d, "lpips_alex.npz")
+        if os.path.exists(npz):
+            return partial(lpips_forward, load_lpips_weights(npz))
+        alexnet = _find(d, _ALEXNET_PTH_NAMES)
+        lins = _find(d, _LINS_PTH_NAMES)
+        if alexnet and lins:
+            weights = {k: jnp.asarray(v) for k, v in
+                       weights_from_pth(alexnet, lins).items()}
             return partial(lpips_forward, weights)
     return None
+
+
+def lpips_status(project_path: str) -> str:
+    """Human-readable status string recorded in results.txt / metrics.jsonl
+    so a silently-skipped LPIPS term is visible (round-1 weak point #3)."""
+    if try_load_lpips(project_path) is not None:
+        return "active"
+    return ("inactive (no weights: drop lpips_alex.npz or "
+            "alexnet*.pth + alex.pth under assets/lpips/)")
