@@ -5,7 +5,17 @@ POP decode (geo featmap 128^2, hsize 128) -> skinning -> tile-binned Pallas
 splatting of ~115k gaussians — i.e. the `render_novel_pose.py` workload
 (BASELINE.md: target >= 30 FPS @ 512^2 per v5e chip; vs_baseline = fps/30).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra fields on the same JSON line:
+  stage1_train_it_per_sec — wall iters/sec of the fused stage-1 train step
+    (B=2 @512^2, full loss + grads + optax update), device-prefetched feeds:
+    the `train.py --train_stage 1` steady-state rate.
+  render_overflow — gaussian-tile pairs beyond the capacity cascade on one
+    rendered batch. NOTE: on avatar scenes most of these pairs are behind
+    saturated transmittance (the CUDA original would sort them but never
+    blend them); the cascade's measured image fidelity vs a 4096-deep render
+    is recorded in BASELINE.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -19,10 +29,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gaussianavatar_tpu.engine.train_step import make_cached_render_fn, precompute_canonical
-    from gaussianavatar_tpu.engine.optim import build_optimizer
-    from gaussianavatar_tpu.engine.train_step import init_state
     from gaussianavatar_tpu.config import OptimizationParams
+    from gaussianavatar_tpu.engine.optim import build_optimizer
+    from gaussianavatar_tpu.engine.train_step import (
+        init_state,
+        make_cached_render_fn,
+        make_train_step,
+        precompute_canonical,
+    )
     from gaussianavatar_tpu.models.avatar import AvatarNet, build_avatar_assets
     from gaussianavatar_tpu.ops.camera import Camera
     from gaussianavatar_tpu.ops.rasterize import RasterizeConfig
@@ -60,14 +74,19 @@ def main():
     B = 4  # frames per device call (animation rendering is a batch workload)
     state = init_state(net, assets, _TX0(), batch_size=B)
 
-    raster_cfg = RasterizeConfig(tile_size=32, tile_capacity=512, max_tiles_per_gaussian=16)
+    # two-tier capacity cascade (see config.RasterParams): 128 everywhere +
+    # 768 extra depth ranks on the 25% busiest tiles
+    raster_cfg = RasterizeConfig(
+        tile_size=32, tile_capacity=128, max_tiles_per_gaussian=9,
+        tile_capacity_hi=768, heavy_fraction=0.25,
+    )
     # stage-1 canonical gaussians are pose-independent: precompute once
     cache = precompute_canonical(net, assets, state.params, state.batch_stats)
     render = make_cached_render_fn(net, model, assets, H, W, (1.0, 1.0, 1.0), raster_cfg)
 
-    def batch_for(i):
-        idx = (jnp.arange(B, dtype=jnp.int32) + i) % NF
-        tile = lambda x: jnp.tile(x[None], (B,) + (1,) * x.ndim)
+    def batch_for(i, n=B):
+        idx = (jnp.arange(n, dtype=jnp.int32) + i) % NF
+        tile = lambda x: jnp.tile(x[None], (n,) + (1,) * x.ndim)
         return {
             "pose_idx": idx,
             "world_view_transform": tile(cam.world_view_transform),
@@ -92,6 +111,52 @@ def main():
     dt = (time.time() - t0) / (n_calls * B)
     fps = 1.0 / dt
 
+    # ---- extra 1: overflow on one rendered batch (truncation is never silent)
+    from gaussianavatar_tpu.engine.train_step import _forward_gaussians
+    from gaussianavatar_tpu.ops.rasterize import rasterize_views
+
+    @jax.jit
+    def overflow_probe(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        world, shs, scales3, rotations, opacity, _, _ = _forward_gaussians(
+            net, variables, model, assets, batch, it, False, False
+        )
+        return rasterize_views(
+            world, shs, scales3, rotations, opacity,
+            batch["world_view_transform"], batch["full_proj_transform"],
+            batch["tan_fovx"], batch["tan_fovy"], H, W,
+            jnp.ones(3), config=raster_cfg, return_overflow=True,
+        )[1]
+
+    overflow = int(overflow_probe(state.params, state.batch_stats, batch_for(0)))
+
+    # ---- extra 2: fused stage-1 train-step wall throughput (B=2 @512^2)
+    Bt = 2
+    opt = OptimizationParams()
+    state_t = init_state(net, assets, _TX0(), batch_size=Bt)
+    tx = build_optimizer(state_t.params, opt, steps_per_epoch=NF // Bt, train_stage=1)
+    state_t = state_t.replace(opt_state=tx.init(state_t.params))
+    step = make_train_step(
+        net, model, assets, tx, opt, H, W, (1.0, 1.0, 1.0), raster_cfg, train_stage=1
+    )
+    gt = jnp.zeros((Bt, 3, H, W), jnp.float32) + 0.5
+
+    def feed_for(i):
+        b = batch_for(i, n=Bt)
+        b["original_image"] = gt
+        return b
+
+    ones = jnp.float32(1.0)
+    feeds = [jax.device_put(feed_for(i)) for i in range(8)]
+    state_t, terms, _ = step(state_t, feeds[0], ones, ones * 0, ones * 0)
+    jax.block_until_ready(terms["total"])
+    n_steps = 50
+    t0 = time.time()
+    for i in range(n_steps):
+        state_t, terms, _ = step(state_t, feeds[i % 8], ones, ones * 0, ones * 0)
+    jax.block_until_ready(terms["total"])
+    train_ips = n_steps / (time.time() - t0)
+
     print(
         json.dumps(
             {
@@ -99,6 +164,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 30.0, 3),
+                "stage1_train_it_per_sec": round(train_ips, 2),
+                "render_overflow": overflow,
             }
         )
     )

@@ -54,6 +54,22 @@ def lpips_gate_value(lpips_active: bool, epoch: int, opt) -> float:
     return float(lpips_active and epoch > opt.lpips_start_iter)
 
 
+def device_prefetch(feed_iter, depth: int = 2):
+    """Device-side double buffering: `jax.device_put` batch t+1 while step t
+    runs. Transfers are async, so keeping `depth` batches in flight overlaps
+    the host->device copy (the tunnel's dominant per-step latency) with
+    compute instead of serializing it into each dispatch."""
+    import collections
+
+    q = collections.deque()
+    for feed in feed_iter:
+        q.append(jax.device_put(feed))
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def save_image_grid(path: str, images: np.ndarray):
     """(B, 3, H, W) in [0,1] -> horizontal grid PNG."""
     from PIL import Image
@@ -71,6 +87,8 @@ def raster_config(cfg: Config) -> RasterizeConfig:
         tile_capacity=r.tile_capacity,
         max_tiles_per_gaussian=r.max_tiles_per_gaussian,
         backend=r.backend,
+        tile_capacity_hi=r.tile_capacity_hi,
+        heavy_fraction=r.heavy_fraction,
     )
 
 
@@ -160,18 +178,8 @@ def train(
         pose_gate = pose_opt_gate_value(mp.train_stage, epoch, opt)
         lpips_gate = lpips_gate_value(lpips_fn is not None, epoch, opt)
 
-        batch_iter = iter(loader)
-        while True:
-            group = []
-            target = spd if multi_fn is not None else 1
-            for batch in batch_iter:
-                group.append(batch)
-                if len(group) == target:
-                    break
-            if not group:
-                break
-            feeds = []
-            for batch in group:
+        def make_feeds():
+            for batch in loader:
                 feed = {k: v for k, v in batch.items() if k not in drop_keys}
                 if fix_inp is not None:
                     feed["inp_pos_map"] = np.broadcast_to(
@@ -179,26 +187,31 @@ def train(
                     )
                 elif "inp_pos_map" in feed and feed["inp_pos_map"].shape[1] == 3:
                     feed["inp_pos_map"] = feed["inp_pos_map"].transpose(0, 2, 3, 1)
+                yield feed
+
+        feed_iter = device_prefetch(make_feeds(), depth=2)
+        target = spd if multi_fn is not None else 1
+        while True:
+            feeds = []
+            for feed in feed_iter:
                 feeds.append(feed)
+                if len(feeds) == target:
+                    break
+            if not feeds:
+                break
             if multi_fn is not None and len(feeds) == spd:
-                stacked = {k: np.stack([f[k] for f in feeds]) for k in feeds[0]}
+                stacked = {k: jnp.stack([f[k] for f in feeds]) for k in feeds[0]}
                 state, terms_s, images = multi_fn(
                     state, stacked, jnp.float32(w_rgl), jnp.float32(pose_gate), jnp.float32(lpips_gate)
                 )
                 terms = {k: v[-1] for k, v in terms_s.items()}
                 first_iter += spd
             else:
-                for feed in feeds[:-1]:
+                for feed in feeds:
                     state, terms, images = step_fn(
                         state, feed, jnp.float32(w_rgl), jnp.float32(pose_gate), jnp.float32(lpips_gate)
                     )
                     first_iter += 1
-                feed = feeds[-1]
-                state, terms, images = step_fn(
-                    state, feed, jnp.float32(w_rgl), jnp.float32(pose_gate), jnp.float32(lpips_gate)
-                )
-                first_iter += 1
-            batch = group[-1]
             if first_iter <= epoch_start * steps_per_epoch + spd:
                 jax.block_until_ready(terms["total"])
                 t_start = time.time()  # exclude the first-step compile from it/s
@@ -214,7 +227,8 @@ def train(
                                         "iter_time": dt / max(first_iter - epoch_start * steps_per_epoch, 1)})
             if (first_iter - 1) % opt.log_iter == 0:
                 save_image_grid(join(mp.model_path, "log", f"{first_iter:05d}_pred.png"), np.asarray(images))
-                save_image_grid(join(mp.model_path, "log", f"{first_iter:05d}_gt.png"), batch["original_image"])
+                save_image_grid(join(mp.model_path, "log", f"{first_iter:05d}_gt.png"),
+                                np.asarray(feeds[-1]["original_image"]))
                 # posed point-cloud dump (reference train.py:106-111)
                 if debug_points is not None:
                     pts = np.asarray(debug_points(state.params, state.batch_stats, feeds[-1]))

@@ -40,7 +40,9 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_render_views(H: int, W: int, bg_color, raster_cfg: RasterizeConfig):
-    """Batched renderer: the whole batch rides one Pallas launch."""
+    """Batched renderer: the whole batch rides one Pallas launch. Returns
+    (images, overflow) — overflow is the gaussian-tile pairs dropped by the
+    tile-capacity caps (0 = exact coverage); the train step logs it."""
     from gaussianavatar_tpu.ops.rasterize import rasterize_views
 
     bg = jnp.asarray(bg_color, jnp.float32)
@@ -49,6 +51,7 @@ def make_render_views(H: int, W: int, bg_color, raster_cfg: RasterizeConfig):
         return rasterize_views(
             means, colors, scales3, rotations, opacity,
             wvt, fpt, tanx, tany, H, W, bg, config=raster_cfg,
+            return_overflow=True,
         )
 
     return render
@@ -61,6 +64,15 @@ def _forward_gaussians(net, variables, body_model, assets, batch, iteration, tra
     B = idx.shape[0]
     inp = batch.get("inp_pos_map")
 
+    # Stage 1's decoder sees no per-frame input (the geometry featmap is the
+    # only source), so its output is identical for every batch item: decode
+    # ONCE and broadcast. The broadcast's backward sums the per-item
+    # cotangents — exactly the gradient of the replicated compute — and
+    # BatchNorm statistics over identical copies are unchanged. (The
+    # reference re-runs the decoder per batch item, avatar_model.py:302.)
+    dedup = net.train_stage == 1 and inp is None
+    B_dec = 1 if dedup else B
+
     def apply_fn(vs):
         def run(module):
             if "pose_data" in batch:  # free-render path: poses from the dataset
@@ -68,7 +80,7 @@ def _forward_gaussians(net, variables, body_model, assets, batch, iteration, tra
             else:
                 pose, transl = module.lookup(idx)
             res, scales, shs, pose_featmap = module.decode(
-                assets, B, inp_posmap=inp, train=train
+                assets, B_dec, inp_posmap=inp, train=train
             )
             return res, scales, shs, pose, transl, pose_featmap
 
@@ -77,6 +89,10 @@ def _forward_gaussians(net, variables, body_model, assets, batch, iteration, tra
         return net.apply(vs, method=run), vs.get("batch_stats", {})
 
     (res, scales, shs, pose, transl, pose_featmap), new_state = apply_fn(variables)
+    if dedup and B != 1:
+        res = jnp.broadcast_to(res, (B,) + res.shape[1:])
+        scales = jnp.broadcast_to(scales, (B,) + scales.shape[1:])
+        shs = jnp.broadcast_to(shs, (B,) + shs.shape[1:])
 
     world = pose_gaussians(
         body_model, assets, pose, transl, res, rest_pose=batch.get("rest_pose")
@@ -120,7 +136,7 @@ def make_train_step(
             world, shs, scales3, rotations, opacity, aux, new_bs = _forward_gaussians(
                 net, variables, body_model, assets, batch, iteration, True, True
             )
-            images = render_views(
+            images, overflow = render_views(
                 world, shs, scales3, rotations, opacity,
                 batch["world_view_transform"], batch["full_proj_transform"],
                 batch["tan_fovx"], batch["tan_fovy"],
@@ -154,6 +170,8 @@ def make_train_step(
                 loss = loss + lpips_gate * vgg
                 terms["vgg"] = vgg
             terms["total"] = loss
+            # truncation is surfaced, never silent: rides metrics.jsonl
+            terms["raster_overflow"] = jax.lax.stop_gradient(overflow).astype(jnp.float32)
             return loss, (new_bs, terms, images)
 
         grads, (new_bs, terms, images) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -236,7 +254,7 @@ def make_render_fn(
             world, shs, scales3, rotations, opacity,
             batch["world_view_transform"], batch["full_proj_transform"],
             batch["tan_fovx"], batch["tan_fovy"],
-        )
+        )[0]
 
     return render
 
@@ -306,7 +324,7 @@ def make_cached_render_fn(
             world, shs_b, scales3, rotations, opacity,
             batch["world_view_transform"], batch["full_proj_transform"],
             batch["tan_fovx"], batch["tan_fovy"],
-        )
+        )[0]
 
     return render
 

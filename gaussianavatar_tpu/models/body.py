@@ -1,13 +1,14 @@
-"""SMPL / SMPL-X body models as pure-JAX parameter pytrees + functions.
+"""SMPL-family body models as pure-JAX parameter pytrees + functions.
 
 Capability parity with the reference's vendored smplx package
-(/root/reference/submodules/smplx/body_models.py:43-393 SMPL,
-:886-1292 SMPL-X), restricted to what the avatar pipeline instantiates
-(avatar_model.py:47,57): SMPL(gender) and SMPLX(use_pca=False,
-flat_hand_mean=True). Output semantics match the local smplx modification:
-`forward` returns the per-joint relative affines `A` with the global
-translation folded into vertices, joints AND A[:, :, :3, 3]
-(body_models.py:380-383).
+(/root/reference/submodules/smplx/body_models.py): SMPL (:43-393),
+SMPL-X incl. expression blendshapes (:886-1292), plus the SMPLH (:396-638),
+MANO (:1642-1843) and FLAME (:1846-2108) variants — all over the same
+generic `lbs()` core, used with the avatar pipeline's settings
+(avatar_model.py:47,57: use_pca=False, flat_hand_mean=True). Output
+semantics match the local smplx modification: `forward` returns the
+per-joint relative affines `A` with the global translation folded into
+vertices, joints AND A[:, :, :3, 3] (body_models.py:380-383).
 
 Design: a `BodyModel` NamedTuple of device arrays (a pytree — jit/vmap/shard
 friendly); `forward` is a pure function; loaders read the official .pkl/.npz
@@ -29,6 +30,10 @@ from gaussianavatar_tpu.ops.lbs import lbs
 SMPL_NUM_JOINTS = 24
 SMPLX_NUM_JOINTS = 55
 
+# joints per model type at official scale (body_models.py NUM_BODY_JOINTS);
+# informational — tiny synthetic models with other J are fully supported
+NUM_JOINTS = {"smpl": 24, "smplh": 52, "smplx": 55, "mano": 16, "flame": 5}
+
 
 class BodyModel(NamedTuple):
     """Parameter pytree for an SMPL-family body model."""
@@ -41,6 +46,9 @@ class BodyModel(NamedTuple):
     parents: np.ndarray      # (J,) static int
     faces: np.ndarray        # (F, 3) static int
     model_type: str = "smpl"  # static
+    # expression blendshapes (smplx/flame; reference body_models.py:1004-1017
+    # slices them off shapedirs[..., 300:]); None for the other model types
+    expr_dirs: Optional[jax.Array] = None  # (V, 3, n_expr)
 
 
 class BodyOutput(NamedTuple):
@@ -58,9 +66,20 @@ def _to_np(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def _from_struct(data: dict, model_type: str, num_betas: int) -> BodyModel:
+def _from_struct(
+    data: dict, model_type: str, num_betas: int, num_expressions: int = 10
+) -> BodyModel:
     v_template = _to_np(data["v_template"]).astype(np.float32)
-    shapedirs = _to_np(data["shapedirs"]).astype(np.float32)[:, :, :num_betas]
+    shapedirs_all = _to_np(data["shapedirs"]).astype(np.float32)
+    shapedirs = shapedirs_all[:, :, :num_betas]
+    # expression dirs (smplx/flame): files with the full 300-shape space store
+    # them at columns [300:]; compact files at [num_betas:]
+    # (reference body_models.py:1004-1017 SMPLX.__init__ does the same split)
+    expr_dirs = None
+    if model_type in ("smplx", "flame") and num_expressions > 0:
+        start = 300 if shapedirs_all.shape[-1] > 300 else num_betas
+        if shapedirs_all.shape[-1] > start:
+            expr_dirs = shapedirs_all[:, :, start : start + num_expressions]
     posedirs = _to_np(data["posedirs"]).astype(np.float32)
     # official storage is (V, 3, P); flatten to (P, V*3) like smplx init
     posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T
@@ -79,6 +98,7 @@ def _from_struct(data: dict, model_type: str, num_betas: int) -> BodyModel:
         parents=parents.astype(np.int32),
         faces=faces,
         model_type=model_type,
+        expr_dirs=jnp.asarray(expr_dirs) if expr_dirs is not None else None,
     )
 
 
@@ -87,11 +107,14 @@ def load_body_model(
     model_type: str = "smpl",
     gender: str = "neutral",
     num_betas: int = 10,
+    num_expressions: int = 10,
 ) -> BodyModel:
-    """Load an official SMPL (.pkl) or SMPL-X (.npz/.pkl) model file.
+    """Load an official SMPL-family (.pkl/.npz) model file: smpl, smplh,
+    smplx, mano, flame.
 
     `model_path` may be the file itself or a directory containing
-    `SMPL_{GENDER}.pkl` / `SMPLX_{GENDER}.npz` (smplx layout)."""
+    `SMPL_{GENDER}.pkl` / `SMPLX_{GENDER}.npz` etc. (smplx layout; for mano,
+    pass gender='right'/'left' to pick MANO_RIGHT/MANO_LEFT)."""
     path = model_path
     if os.path.isdir(path):
         candidates = [
@@ -99,6 +122,8 @@ def load_body_model(
             os.path.join(path, f"{model_type.upper()}_{gender.upper()}.npz"),
             os.path.join(path, f"basicmodel_{'m' if gender == 'male' else 'f' if gender == 'female' else 'neutral'}_lbs_10_207_0_v1.0.0.pkl"),
         ]
+        if model_type == "mano":
+            candidates += [os.path.join(path, "MANO_RIGHT.pkl"), os.path.join(path, "MANO_LEFT.pkl")]
         for c in candidates:
             if os.path.exists(c):
                 path = c
@@ -111,7 +136,7 @@ def load_body_model(
     else:
         with open(path, "rb") as f:
             data = pickle.load(f, encoding="latin1")
-    return _from_struct(data, model_type, num_betas)
+    return _from_struct(data, model_type, num_betas, num_expressions)
 
 
 def create(model_path: str, model_type: str = "smpl", gender: str = "neutral", **kwargs) -> BodyModel:
@@ -123,23 +148,32 @@ def forward(
     model: BodyModel,
     betas: jax.Array,                       # (B, n_betas)
     global_orient: jax.Array,               # (B, 3)
-    body_pose: jax.Array,                   # (B, 63|69) axis-angle
+    body_pose: jax.Array,                   # (B, 63|69) axis-angle; (B, 45) hand pose for mano
     transl: Optional[jax.Array] = None,     # (B, 3)
-    jaw_pose: Optional[jax.Array] = None,   # (B, 3) smplx only
+    jaw_pose: Optional[jax.Array] = None,   # (B, 3) smplx/flame
     leye_pose: Optional[jax.Array] = None,
     reye_pose: Optional[jax.Array] = None,
-    left_hand_pose: Optional[jax.Array] = None,   # (B, 45) smplx, use_pca=False
+    left_hand_pose: Optional[jax.Array] = None,   # (B, 45) smplx/smplh, use_pca=False
     right_hand_pose: Optional[jax.Array] = None,
+    expression: Optional[jax.Array] = None,       # (B, n_expr) smplx/flame
+    neck_pose: Optional[jax.Array] = None,        # (B, 3) flame
 ) -> BodyOutput:
-    """Pose the body. SMPL: full pose = [global(3), body(69)]. SMPL-X:
-    [global(3), body(63), jaw(3), leye(3), reye(3), lhand(45), rhand(45)]
-    (flat_hand_mean=True semantics: hand poses used as-is)."""
-    B = body_pose.shape[0]
+    """Pose the body. Full-pose assembly per model type (matching the
+    reference's forward() concatenations, flat_hand_mean=True semantics —
+    hand poses used as-is):
+      smpl:  [global(3), body(69)]
+      smplh: [global(3), body(63), lhand(45), rhand(45)]
+      smplx: [global(3), body(63), jaw(3), leye(3), reye(3), lhand(45), rhand(45)]
+      mano:  [global(3), hand(45)]   (pass the hand pose as `body_pose`)
+      flame: [global(3), neck(3), jaw(3), leye(3), reye(3)]  (`body_pose` unused)
+    `expression` adds the expression blendshapes (smplx body_models.py:1197:
+    shape_components = cat([betas, expression]))."""
+    B = (body_pose if body_pose is not None else global_orient).shape[0]
     J = model.parents.shape[0]
 
+    z3 = jnp.zeros((B, 3), global_orient.dtype)
+    z45 = jnp.zeros((B, 45), global_orient.dtype)
     if model.model_type == "smplx":
-        z3 = jnp.zeros((B, 3), body_pose.dtype)
-        z45 = jnp.zeros((B, 45), body_pose.dtype)
         parts = [
             global_orient,
             body_pose,
@@ -150,16 +184,46 @@ def forward(
             right_hand_pose if right_hand_pose is not None else z45,
         ]
         full_pose = jnp.concatenate(parts, axis=1)
+    elif model.model_type == "smplh":
+        parts = [
+            global_orient,
+            body_pose,
+            left_hand_pose if left_hand_pose is not None else z45,
+            right_hand_pose if right_hand_pose is not None else z45,
+        ]
+        full_pose = jnp.concatenate(parts, axis=1)
+    elif model.model_type == "mano":
+        hand = body_pose if body_pose is not None else (
+            right_hand_pose if right_hand_pose is not None else left_hand_pose
+        )
+        full_pose = jnp.concatenate([global_orient, hand if hand is not None else z45], axis=1)
+    elif model.model_type == "flame":
+        parts = [
+            global_orient,
+            neck_pose if neck_pose is not None else z3,
+            jaw_pose if jaw_pose is not None else z3,
+            leye_pose if leye_pose is not None else z3,
+            reye_pose if reye_pose is not None else z3,
+        ]
+        full_pose = jnp.concatenate(parts, axis=1)
     else:
         full_pose = jnp.concatenate([global_orient, body_pose], axis=1)
 
     assert full_pose.shape[1] == J * 3, (full_pose.shape, J)
 
+    shapedirs = model.shapedirs
+    shape_components = betas
+    if expression is not None:
+        if model.expr_dirs is None:
+            raise ValueError(f"{model.model_type} model has no expression blendshapes loaded")
+        shapedirs = jnp.concatenate([model.shapedirs, model.expr_dirs], axis=-1)
+        shape_components = jnp.concatenate([betas, expression], axis=-1)
+
     verts, joints, A = lbs(
-        betas,
+        shape_components,
         full_pose,
         model.v_template,
-        model.shapedirs,
+        shapedirs,
         model.posedirs,
         model.J_regressor,
         model.parents,

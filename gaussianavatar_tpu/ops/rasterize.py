@@ -28,6 +28,15 @@ class RasterizeConfig(NamedTuple):
     tile_capacity: int = 512
     max_tiles_per_gaussian: int = 16
     backend: str = "auto"
+    # two-tier capacity: when > 0, the `heavy_fraction` busiest tiles blend a
+    # second depth segment [tile_capacity, tile_capacity + tile_capacity_hi)
+    # — full coverage of dense tiles without paying their capacity everywhere
+    tile_capacity_hi: int = 0
+    heavy_fraction: float = 0.25
+    # general capacity cascade: ((cap, fraction), ...) with fraction the share
+    # of busiest tiles blending that extra depth segment; overrides the
+    # two-tier fields when non-empty, e.g. ((256, 1.0), (512, .25), (512, .0625))
+    tiers: tuple = ()
 
 
 def rasterize(
@@ -88,11 +97,14 @@ def rasterize_views(
     bg_color: jax.Array,                # (3,)
     scale_modifier: float = 1.0,
     config: RasterizeConfig = RasterizeConfig(),
+    return_overflow: bool = False,
 ) -> jax.Array:
-    """Batched rendering -> (B, 3, H, W). Projection/binning vmap as XLA; the
-    Pallas blend launches once with the batch folded into its tile grid
-    (replacing the reference's per-item Python render loop,
-    avatar_model.py:332-365)."""
+    """Batched rendering -> (B, 3, H, W), or ((B, 3, H, W), overflow) with
+    `return_overflow` (overflow = gaussian-tile pairs dropped by the capacity
+    caps; the CUDA original is uncapped, so 0 means CUDA-exact coverage).
+    Projection/binning vmap as XLA; the Pallas blend launches once with the
+    batch folded into its tile grid (replacing the reference's per-item
+    Python render loop, avatar_model.py:332-365)."""
     from gaussianavatar_tpu.ops.projection import project_gaussians
     from gaussianavatar_tpu.ops.rasterize_tile import rasterize_views_binned
 
@@ -116,6 +128,10 @@ def rasterize_views(
         for b in range(B):
             pr = type(projs)(*(x[b] for x in projs))
             imgs.append(rasterize_brute(pr, colors[b], opacities[b], bg_color, height, width))
-        return jnp.stack(imgs)
+        stacked = jnp.stack(imgs)
+        return (stacked, jnp.int32(0)) if return_overflow else stacked
 
-    return rasterize_views_binned(projs, colors, opacities, bg_color, height, width, config)
+    img, overflow = rasterize_views_binned(
+        projs, colors, opacities, bg_color, height, width, config
+    )
+    return (img, overflow) if return_overflow else img

@@ -38,8 +38,10 @@ def blend_pixels(
 ):
     """Blend K depth-ordered gaussians into P pixels.
 
-    Returns (premult_color (P,3), final_T (P,), n_contrib (P,) int32); the
-    caller adds final_T * bg.
+    Returns (premult_color (P,3), final_T (P,), n_contrib (P,) int32,
+    done (P,) bool — True where the CUDA early-termination rule fired, i.e.
+    the pixel must accept NO further contributions even from a continuation
+    segment); the caller adds final_T * bg.
     """
     dx = px[None, :] - means2d[:, 0:1]  # (K, P)
     dy = py[None, :] - means2d[:, 1:2]
@@ -68,7 +70,7 @@ def blend_pixels(
 
     idx = jnp.arange(1, alpha.shape[0] + 1, dtype=jnp.int32)[:, None]
     n_contrib = jnp.max(jnp.where(contrib, idx, 0), axis=0)
-    return color, final_T, n_contrib
+    return color, final_T, n_contrib, done[-1]
 
 
 def rasterize_brute(
@@ -104,7 +106,7 @@ def rasterize_brute(
 
     def chunk_fn(i):
         s = i * pixel_chunk
-        premult, final_T, _ = blend_pixels(
+        premult, final_T, _, _ = blend_pixels(
             jax.lax.dynamic_slice_in_dim(px, s, pixel_chunk),
             jax.lax.dynamic_slice_in_dim(py, s, pixel_chunk),
             means2d, conics, cols, ops, active,

@@ -19,11 +19,23 @@ Blending semantics (incl. the 1/255 alpha floor, 0.99 clamp with CUDA's
 straight-through backward quirk, 1e-4 early termination, and per-pixel
 n_contrib bookkeeping) are locked against `rasterize_ref.blend_pixels`.
 
-Capacity notes: a tile blends at most K (`tile_capacity`) gaussians — the
-closest K in depth order win; a gaussian covers at most MW*MH tiles
-(`max_tiles_per_gaussian`), centered on its projected mean. Both caps are
-config knobs; the CUDA original is uncapped but avatar workloads sit far
-below these defaults.
+Capacity: a tile blends at most K (`tile_capacity`) gaussians — the closest K
+in depth order win — and a gaussian covers at most MW*MH tiles
+(`max_tiles_per_gaussian`). Truncation is never silent: every entry point
+reports `overflow`, the number of gaussian-tile pairs dropped by the caps.
+
+Two-tier capacity (`tile_capacity_hi` > 0): most tiles hold far fewer
+gaussians than the busiest ones, so a single K sized for the worst tile
+wastes gather bandwidth and kernel DMA on all the others. Instead the base
+pass blends every tile at a small K, and a second pass blends ranks
+[K, K+K_hi) for only the `heavy_fraction` most-loaded tiles; the segments
+compose exactly (alpha blending is linear in incoming transmittance):
+    color = c1 + T1 * c2,   T = T1 * T2
+with the base pass's early-termination mask gating the continuation (a pixel
+the CUDA rule stopped accepts nothing from segment 2). The one deviation from
+the uncapped CUDA order of operations: segment 2's own 1e-4 termination test
+runs on its LOCAL transmittance, so it fires later than a global test would —
+strictly CLOSER to the uncapped reference (fewer dropped contributions).
 """
 
 from __future__ import annotations
@@ -57,23 +69,26 @@ def _cdiv(a: int, b: int) -> int:
 # Binning (XLA)
 # --------------------------------------------------------------------------
 
-class BinnedTiles(NamedTuple):
-    params: jax.Array   # (T, K, 16) packed per-tile gaussian params
-    counts: jax.Array   # (T,) int32 gaussians per tile (<= K)
-    overflow: jax.Array  # () int32: total gaussian-tile pairs dropped by K cap
+class BinContext(NamedTuple):
+    """Sorted gaussian-tile key table for one batch of views; per-tile
+    parameter slabs of any (start, capacity) window gather from it."""
+    offsets: jax.Array      # (B*T+1,) int32: tile t owns sorted rows [offsets[t], offsets[t+1])
+    sorted_vals: jax.Array  # (B*N*M,) int32 flat gaussian ids in (tile, depth) order
+    packed: jax.Array       # (B*N, 16) per-gaussian params: mx,my|a,b,c|r,g,b|op|valid|pad
+    full_counts: jax.Array  # (B*T,) int32 true (uncapped) gaussians per tile
+    m_dropped: jax.Array    # () int32 gaussian-tile pairs cut by the MW*MH footprint cap
 
 
-def _pack_tile_params_batched(
+def _bin_gaussians(
     projs: ProjectedGaussians,   # batched (B, N, ...) fields
     colors: jax.Array,           # (B, N, 3)
     opacities: jax.Array,        # (B, N)
     height: int,
     width: int,
     ts: int,
-    K: int,
     MW: int,
     MH: int,
-) -> BinnedTiles:
+) -> BinContext:
     """Bin a whole batch with ONE flat key sort.
 
     Key layout: ((b*T + tile) << DEPTH_BITS) | depth_quant. A vmapped sort
@@ -113,10 +128,12 @@ def _pack_tile_params_batched(
     cyt = jnp.clip((mx[..., 1] // ts).astype(jnp.int32), y0, jnp.maximum(y1 - 1, y0))
     spanx = x1 - x0
     spany = y1 - y0
+    raw_area = spanx * spany
     x0 = jnp.where(spanx > MW, jnp.clip(cxt - MW // 2, x0, x1 - MW), x0)
     y0 = jnp.where(spany > MH, jnp.clip(cyt - MH // 2, y0, y1 - MH), y0)
     spanx = jnp.minimum(spanx, MW)
     spany = jnp.minimum(spany, MH)
+    m_dropped = jnp.sum(jnp.where(v, raw_area - spanx * spany, 0))
 
     depth_key = jax.lax.shift_right_logical(
         jax.lax.bitcast_convert_type(jnp.maximum(projs.depths, 1e-6), jnp.int32),
@@ -147,15 +164,9 @@ def _pack_tile_params_batched(
     boundaries = jax.lax.shift_left(jnp.arange(B * T + 1, dtype=jnp.int32), depth_bits)
     offsets = jnp.searchsorted(sorted_keys, boundaries, side="left").astype(jnp.int32)
     full_counts = offsets[1:] - offsets[:-1]
-    counts = jnp.minimum(full_counts, K)  # (B*T,)
-    overflow = jnp.sum(full_counts - counts)
 
-    L = B * N * M
-    idx = offsets[:-1, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
-    in_range = idx < offsets[1:, None]
-    ids = jnp.where(in_range, sorted_vals[jnp.clip(idx, 0, L - 1)], 0)  # (B*T, K)
-
-    # single packed gather: (B*N, 16) built once, one (B*T, K) lookup
+    # single packed table: (B*N, 16) built once; every capacity window
+    # gathers rows from it
     packed = jnp.concatenate(
         [
             mx.reshape(B * N, 2),
@@ -167,64 +178,60 @@ def _pack_tile_params_batched(
         ],
         axis=-1,
     )  # 16 ch: mx,my | a,b,c | r,g,b | opacity | valid | 6 pad
-    params = packed[ids] * in_range[..., None].astype(mx.dtype)  # (B*T, K, 16)
-    return BinnedTiles(params=params, counts=counts, overflow=overflow)
-
-
-def _pack_tile_params(
-    proj: ProjectedGaussians,
-    colors: jax.Array,
-    opacities: jax.Array,
-    height: int,
-    width: int,
-    ts: int,
-    K: int,
-    MW: int,
-    MH: int,
-) -> BinnedTiles:
-    """Single-image binning (tests / external callers)."""
-    projs = ProjectedGaussians(*(x[None] for x in proj))
-    return _pack_tile_params_batched(
-        projs, colors[None], opacities.reshape(1, -1), height, width, ts, K, MW, MH
+    return BinContext(
+        offsets=offsets, sorted_vals=sorted_vals, packed=packed,
+        full_counts=full_counts, m_dropped=m_dropped,
     )
+
+
+def _gather_tile_params(
+    ctx: BinContext, tile_sel: jax.Array, k0: int, K: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Gather depth ranks [k0, k0+K) of the selected tiles -> params
+    (S, K, 16) + counts (S,). Rows past a tile's true count are zeroed
+    (valid channel 0), so they are free in the blend."""
+    off0 = ctx.offsets[tile_sel] + k0
+    off1 = ctx.offsets[tile_sel + 1]
+    idx = off0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    in_range = idx < off1[:, None]
+    L = ctx.sorted_vals.shape[0]
+    ids = jnp.where(in_range, ctx.sorted_vals[jnp.clip(idx, 0, L - 1)], 0)  # (S, K)
+    params = ctx.packed[ids] * in_range[..., None].astype(ctx.packed.dtype)
+    counts = jnp.clip(off1 - off0, 0, K)
+    return params, counts
 
 
 # --------------------------------------------------------------------------
 # XLA blend backend (semantics twin of the Pallas kernel; CPU-friendly)
 # --------------------------------------------------------------------------
 
-def _tile_pixel_coords(txn: int, tyn: int, ts: int, dtype) -> Tuple[jax.Array, jax.Array]:
-    t = jnp.arange(txn * tyn, dtype=jnp.int32)
-    tx = (t % txn)[:, None]
-    ty = (t // txn)[:, None]
+def _blend_xla(params: jax.Array, tileids: jax.Array, txn: int, ts: int):
+    """params (S, K, 16), tileids (S,) local tile index -> premultiplied
+    color (S, PX, 3), final T (S, PX), n_contrib, done."""
+    tx = (tileids % txn)[:, None]
+    ty = (tileids // txn)[:, None]
     f = jnp.arange(ts * ts, dtype=jnp.int32)[None, :]
-    px = (tx * ts + f % ts).astype(dtype)
-    py = (ty * ts + f // ts).astype(dtype)
-    return px, py  # (T, ts*ts)
-
-
-def _blend_xla(params: jax.Array, counts: jax.Array, txn: int, tyn: int, ts: int, n_images: int = 1):
-    px, py = _tile_pixel_coords(txn, tyn, ts, params.dtype)
-    if n_images > 1:
-        px = jnp.tile(px, (n_images, 1))
-        py = jnp.tile(py, (n_images, 1))
+    px = (tx * ts + f % ts).astype(params.dtype)
+    py = (ty * ts + f // ts).astype(params.dtype)
 
     def one(p, px1, py1):
         active = p[:, 9] > 0
         return blend_pixels(px1, py1, p[:, 0:2], p[:, 2:5], p[:, 5:8], p[:, 8], active)
 
-    premult, final_T, ncon = jax.vmap(one)(params, px, py)
-    return premult, final_T, ncon  # (T,PX,3), (T,PX), (T,PX)
+    return jax.vmap(one)(params, px, py)
 
 
 # --------------------------------------------------------------------------
 # Pallas TPU kernels
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(count_ref, params_ref, color_ref, finalT_ref, ncon_ref, *, K, ts, txn, n_tiles):
+def _fwd_kernel(
+    tileid_ref, count_ref, params_ref, color_ref, finalT_ref, ncon_ref, done_ref,
+    *, K, ts, txn,
+):
     pxr = ts * ts // _LANES
     t = pl.program_id(0)
-    tile = t % n_tiles  # batch of views is folded into the grid
+    tile = tileid_ref[t]  # local tile index within the image grid
     tx = tile % txn
     ty = tile // txn
     f = (
@@ -282,15 +289,16 @@ def _fwd_kernel(count_ref, params_ref, color_ref, finalT_ref, ncon_ref, *, K, ts
     color_ref[0, 2] = cb
     finalT_ref[0] = T
     ncon_ref[0] = ncon
+    done_ref[0] = done
 
 
 def _bwd_kernel(
-    count_ref, params_ref, finalT_ref, ncon_ref, gimg_ref, gfT_ref, grads_ref,
-    *, K, ts, txn, n_tiles,
+    tileid_ref, count_ref, params_ref, finalT_ref, ncon_ref, gimg_ref, gfT_ref, grads_ref,
+    *, K, ts, txn,
 ):
     pxr = ts * ts // _LANES
     t = pl.program_id(0)
-    tile = t % n_tiles  # batch of views is folded into the grid
+    tile = tileid_ref[t]
     tx = tile % txn
     ty = tile // txn
     f = (
@@ -376,15 +384,15 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, nchunks, body, (finalT, zero, zero, zero))
 
 
-def _pallas_fwd(params, counts, txn, tyn, ts, K, interpret, n_images=1):
-    n_tiles = txn * tyn
-    T = n_images * n_tiles
+def _pallas_fwd(params, counts, tileids, txn, ts, K, interpret):
+    G = params.shape[0]  # grid size = number of selected tiles
     pxr = ts * ts // _LANES
-    kernel = functools.partial(_fwd_kernel, K=K, ts=ts, txn=txn, n_tiles=n_tiles)
+    kernel = functools.partial(_fwd_kernel, K=K, ts=ts, txn=txn)
     return pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(G,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile ids, tiny
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full counts vector, tiny
             pl.BlockSpec((1, K, 16), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -392,26 +400,28 @@ def _pallas_fwd(params, counts, txn, tyn, ts, K, interpret, n_images=1):
             pl.BlockSpec((1, 3, pxr, _LANES), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, 3, pxr, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((T, pxr, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((T, pxr, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, 3, pxr, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((G, pxr, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((G, pxr, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, pxr, _LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, params)
+    )(tileids, counts, params)
 
 
-def _pallas_bwd(params, counts, finalT, ncon, gimg, gfT, txn, tyn, ts, K, interpret, n_images=1):
-    n_tiles = txn * tyn
-    T = n_images * n_tiles
+def _pallas_bwd(params, counts, tileids, finalT, ncon, gimg, gfT, txn, ts, K, interpret):
+    G = params.shape[0]
     pxr = ts * ts // _LANES
-    kernel = functools.partial(_bwd_kernel, K=K, ts=ts, txn=txn, n_tiles=n_tiles)
+    kernel = functools.partial(_bwd_kernel, K=K, ts=ts, txn=txn)
     return pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full counts vector, tiny
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile ids
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full counts vector
             pl.BlockSpec((1, K, 16), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -419,33 +429,33 @@ def _pallas_bwd(params, counts, finalT, ncon, gimg, gfT, txn, tyn, ts, K, interp
             pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, K, 16), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, K, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, K, 16), jnp.float32),
         interpret=interpret,
-    )(counts, params, finalT, ncon, gimg, gfT)
+    )(tileids, counts, params, finalT, ncon, gimg, gfT)
 
 
 @functools.lru_cache(maxsize=32)
-def _make_pallas_blend(txn: int, tyn: int, ts: int, K: int, interpret: bool, n_images: int = 1):
+def _make_pallas_blend(txn: int, ts: int, K: int, interpret: bool):
     """custom-VJP blend over packed per-tile params; pixel axis lives as
-    (ts*ts/128, 128) so every vector op is a full VPU register. A batch of
-    views is folded into the kernel grid (one launch for the whole batch)."""
+    (ts*ts/128, 128) so every vector op is a full VPU register. The grid is
+    one step per selected tile: a full batch of views, or any subset of
+    tiles (the two-tier heavy pass), rides ONE launch."""
 
     @jax.custom_vjp
-    def blend(params, counts):
-        color, finalT, ncon = _pallas_fwd(params, counts, txn, tyn, ts, K, interpret, n_images)
-        return color, finalT, ncon
+    def blend(params, counts, tileids):
+        return _pallas_fwd(params, counts, tileids, txn, ts, K, interpret)
 
-    def blend_fwd(params, counts):
-        color, finalT, ncon = _pallas_fwd(params, counts, txn, tyn, ts, K, interpret, n_images)
-        return (color, finalT, ncon), (params, counts, finalT, ncon)
+    def blend_fwd(params, counts, tileids):
+        color, finalT, ncon, done = _pallas_fwd(params, counts, tileids, txn, ts, K, interpret)
+        return (color, finalT, ncon, done), (params, counts, tileids, finalT, ncon)
 
     def blend_bwd(res, cot):
-        params, counts, finalT, ncon = res
-        gimg, gfT, _ = cot
+        params, counts, tileids, finalT, ncon = res
+        gimg, gfT, _, _ = cot
         grads = _pallas_bwd(
-            params, counts, finalT, ncon, gimg, gfT, txn, tyn, ts, K, interpret, n_images
+            params, counts, tileids, finalT, ncon, gimg, gfT, txn, ts, K, interpret
         )
-        return grads, None
+        return grads, None, None
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend
@@ -470,26 +480,43 @@ def rasterize_views_binned(
     height: int,
     width: int,
     config,
-) -> jax.Array:
-    """Render a batch of views -> (B, 3, H, W). Binning is vmapped XLA; the
-    Pallas blend runs ONCE with the batch folded into its grid."""
+) -> Tuple[jax.Array, jax.Array]:
+    """Render a batch of views -> ((B, 3, H, W) image, () int32 overflow —
+    the gaussian-tile pairs dropped by the capacity caps; 0 means the render
+    is exact). Binning is vmapped XLA; the Pallas blend runs ONCE with the
+    batch folded into its grid. With `config.tile_capacity_hi` > 0 a second
+    blend pass extends the `heavy_fraction` busiest tiles to capacity
+    K + K_hi (see module docstring)."""
     ts = config.tile_size
-    K = config.tile_capacity
     M = config.max_tiles_per_gaussian
+    # capacity tiers: explicit `tiers` wins; else (tile_capacity [+ _hi])
+    tiers = list(getattr(config, "tiers", ()) or ())
+    if not tiers:
+        tiers = [(config.tile_capacity, 1.0)]
+        K_hi = int(getattr(config, "tile_capacity_hi", 0))
+        if K_hi > 0:
+            tiers.append((K_hi, float(getattr(config, "heavy_fraction", 0.25))))
+    K = tiers[0][0]
     MW = MH = int(math.isqrt(M))
     assert MW * MH == M, "max_tiles_per_gaussian must be a perfect square"
     assert (ts * ts) % _LANES == 0, "tile_size^2 must be a multiple of 128"
-    assert K % _CHUNK == 0, "tile_capacity must be a multiple of 8"
+    for cap, frac in tiers:
+        assert cap % _CHUNK == 0, "tier capacities must be multiples of 8"
+        assert 0.0 < frac <= 1.0, "tier fractions must be in (0, 1]"
+    assert tiers[0][1] == 1.0, "the base tier must cover every tile"
+    assert all(tiers[i][1] >= tiers[i + 1][1] for i in range(len(tiers) - 1)), (
+        "tier fractions must be non-increasing (each tier nests in the previous)"
+    )
 
     B = colors.shape[0]
     txn, tyn = _cdiv(width, ts), _cdiv(height, ts)
     n_tiles = txn * tyn
+    G = B * n_tiles
 
-    binned = _pack_tile_params_batched(
-        projs, colors, opacities, height, width, ts, K, MW, MH
-    )
-    params = binned.params  # already (B*T, K, 16)
-    counts = binned.counts
+    ctx = _bin_gaussians(projs, colors, opacities, height, width, ts, MW, MH)
+    all_tiles = jnp.arange(G, dtype=jnp.int32)
+    params, counts = _gather_tile_params(ctx, all_tiles, 0, K)
+    tileids = all_tiles % n_tiles
 
     backend = getattr(config, "backend", "auto")
     if backend in ("auto", "tile"):
@@ -497,18 +524,49 @@ def rasterize_views_binned(
 
     pxr = ts * ts // _LANES
     if backend == "xla":
-        premult, final_T, _ = _blend_xla(params, counts, txn, tyn, ts, n_images=B)
-        color_t = premult.transpose(0, 2, 1).reshape(-1, 3, pxr, _LANES)
-        finalT_t = final_T.reshape(-1, pxr, _LANES)
+        def blend_any(p, c, tids):
+            premult, final_T, ncon, done = _blend_xla(p, tids, txn, ts)
+            S = p.shape[0]
+            return (
+                premult.transpose(0, 2, 1).reshape(S, 3, pxr, _LANES),
+                final_T.reshape(S, pxr, _LANES),
+                ncon.reshape(S, pxr, _LANES),
+                done.astype(p.dtype).reshape(S, pxr, _LANES),
+            )
     else:
         interpret = backend == "pallas_interpret"
-        blend = _make_pallas_blend(txn, tyn, ts, K, interpret, B)
-        color_t, finalT_t, _ = blend(params, counts)
+
+        def blend_any(p, c, tids):
+            return _make_pallas_blend(txn, ts, p.shape[1], interpret)(p, c, tids)
+
+    color_t, finalT_t, _, done_t = blend_any(params, counts, tileids)
+
+    remaining = jnp.maximum(ctx.full_counts - K, 0)
+    k0 = K
+    for cap, frac in tiers[1:]:
+        S = min(max(_CHUNK, int(round(G * frac))), G)
+        # fractions are non-increasing, so each tier's top-S set nests inside
+        # the previous tier's (top_k ties break by index, deterministically)
+        hv = jax.lax.top_k(ctx.full_counts, S)[1].astype(jnp.int32)
+        params_h, counts_h = _gather_tile_params(ctx, hv, k0, cap)
+        c2, T2, _, d2 = blend_any(params_h, counts_h, hv % n_tiles)
+        # compose segments: alpha blending is linear in incoming transmittance.
+        # The early-termination gate is a non-differentiable cutoff (CUDA
+        # treats it the same way), hence the stop_gradient.
+        gate = 1.0 - jax.lax.stop_gradient(done_t[hv])   # (S, pxr, LANES)
+        c1h = color_t[hv]
+        T1h = finalT_t[hv]
+        color_t = color_t.at[hv].set(c1h + (T1h * gate)[:, None] * c2)
+        finalT_t = finalT_t.at[hv].set(jnp.where(gate > 0, T1h * T2, T1h))
+        done_t = done_t.at[hv].set(jnp.maximum(done_t[hv], d2))
+        remaining = remaining.at[hv].set(jnp.maximum(remaining[hv] - cap, 0))
+        k0 += cap
+    overflow = jnp.sum(remaining) + ctx.m_dropped
 
     untile = lambda x: _untile(x, txn, tyn, ts, height, width)
     img = jax.vmap(untile)(color_t.reshape(B, n_tiles, 3, pxr, _LANES))
     T_img = jax.vmap(untile)(finalT_t.reshape(B, n_tiles, 1, pxr, _LANES))[:, 0]
-    return img + T_img[:, None] * bg[None, :, None, None]
+    return img + T_img[:, None] * bg[None, :, None, None], overflow
 
 
 def rasterize_tiled(
@@ -522,7 +580,7 @@ def rasterize_tiled(
 ) -> jax.Array:
     """Single-view entry: (3, H, W)."""
     projs = ProjectedGaussians(*(x[None] for x in proj))
-    img = rasterize_views_binned(
+    img, _ = rasterize_views_binned(
         projs, colors[None], opacities.reshape(1, -1), bg, height, width, config
     )
     return img[0]

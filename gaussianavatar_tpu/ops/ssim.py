@@ -14,30 +14,31 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
     xs = np.arange(window_size)
     g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma**2))
-    g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return w2d
+    return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_filter(img: jax.Array, window: jax.Array, pad: int) -> jax.Array:
-    """(B, C, H, W) depthwise conv with a shared (k, k) window, zero same-pad."""
+def _depthwise_filter(img: jax.Array, g1d: jax.Array, pad: int) -> jax.Array:
+    """(B, C, H, W) depthwise conv with the separable Gaussian window
+    (outer(g, g) == conv by g along H then W), zero same-pad. Separability
+    turns 121 taps into 22 — ~5x fewer MXU passes than the 2D window."""
     C = img.shape[1]
-    k = window.shape[0]
-    kernel = jnp.broadcast_to(window, (C, 1, k, k))  # OIHW with groups=C
+    k = g1d.shape[0]
+    kh = jnp.broadcast_to(g1d.reshape(1, 1, k, 1), (C, 1, k, 1))
+    kw = jnp.broadcast_to(g1d.reshape(1, 1, 1, k), (C, 1, 1, k))
     # HIGHEST precision is load-bearing: the sigma terms are E[x^2] - mu^2
     # cancellations; TPU bf16 convs make SSIM exceed 1 (observed 2.25).
-    return jax.lax.conv_general_dilated(
-        img,
-        kernel,
+    conv = functools.partial(
+        jax.lax.conv_general_dilated,
         window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=C,
         precision=jax.lax.Precision.HIGHEST,
     )
+    x = conv(img, kh, padding=[(pad, pad), (0, 0)])
+    return conv(x, kw, padding=[(0, 0), (pad, pad)])
 
 
 def ssim(
@@ -49,16 +50,21 @@ def ssim(
     """Structural similarity of two (B, C, H, W) (or (C, H, W)) image batches."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
-    window = jnp.asarray(_gaussian_window(window_size, 1.5), img1.dtype)
+    g1d = jnp.asarray(_gaussian_1d(window_size, 1.5), img1.dtype)
     pad = window_size // 2
 
-    mu1 = _depthwise_filter(img1, window, pad)
-    mu2 = _depthwise_filter(img2, window, pad)
+    # one fused depthwise conv over all five moment maps
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=1
+    )
+    C = img1.shape[1]
+    f = _depthwise_filter(stacked, g1d, pad)
+    mu1, mu2 = f[:, :C], f[:, C : 2 * C]
 
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_filter(img1 * img1, window, pad) - mu1_sq
-    sigma2_sq = _depthwise_filter(img2 * img2, window, pad) - mu2_sq
-    sigma12 = _depthwise_filter(img1 * img2, window, pad) - mu1_mu2
+    sigma1_sq = f[:, 2 * C : 3 * C] - mu1_sq
+    sigma2_sq = f[:, 3 * C : 4 * C] - mu2_sq
+    sigma12 = f[:, 4 * C :] - mu1_mu2
 
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (

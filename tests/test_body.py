@@ -87,6 +87,96 @@ def test_pkl_loader_roundtrip(tmp_path):
     assert model2.v_template.shape == model.v_template.shape
 
 
+def _tiny_model(J, model_type, V=40, seed=1, n_expr=0):
+    rng = np.random.default_rng(seed)
+    expr = (
+        jnp.asarray(rng.normal(scale=0.01, size=(V, 3, n_expr)).astype(np.float32))
+        if n_expr
+        else None
+    )
+    return BodyModel(
+        v_template=jnp.asarray(rng.normal(size=(V, 3)).astype(np.float32)),
+        shapedirs=jnp.asarray(rng.normal(scale=0.01, size=(V, 3, 10)).astype(np.float32)),
+        posedirs=jnp.asarray(np.zeros((9 * (J - 1), V * 3), np.float32)),
+        J_regressor=jnp.asarray((np.ones((J, V)) / V).astype(np.float32)),
+        lbs_weights=jnp.asarray((np.ones((V, J)) / J).astype(np.float32)),
+        parents=np.concatenate([[-1], np.zeros(J - 1, int)]).astype(np.int32),
+        faces=np.zeros((1, 3), np.int64),
+        model_type=model_type,
+        expr_dirs=expr,
+    )
+
+
+def test_smplh_mano_flame_pose_assembly():
+    """Each variant's forward must assemble the right full-pose width over
+    the shared lbs() core (reference body_models.py:396-638 SMPLH,
+    :1642-1843 MANO, :1846-2108 FLAME)."""
+    b = jnp.zeros((1, 10))
+    g = jnp.zeros((1, 3))
+    # SMPLH: [global, body63, lhand45, rhand45] -> 52 joints
+    out = forward(_tiny_model(52, "smplh"), b, g, body_pose=jnp.zeros((1, 63)),
+                  left_hand_pose=jnp.zeros((1, 45)))
+    assert out.A.shape == (1, 52, 4, 4)
+    # MANO: [global, hand45] -> 16 joints; hand pose rides body_pose
+    out = forward(_tiny_model(16, "mano"), b, g, body_pose=jnp.zeros((1, 45)))
+    assert out.A.shape == (1, 16, 4, 4)
+    # MANO also accepts right_hand_pose with body_pose=None
+    out = forward(_tiny_model(16, "mano"), b, g, body_pose=None,
+                  right_hand_pose=jnp.zeros((1, 45)))
+    assert out.A.shape == (1, 16, 4, 4)
+    # FLAME: [global, neck, jaw, leye, reye] -> 5 joints
+    out = forward(_tiny_model(5, "flame"), b, g, body_pose=None,
+                  neck_pose=jnp.zeros((1, 3)), jaw_pose=jnp.zeros((1, 3)))
+    assert out.A.shape == (1, 5, 4, 4)
+
+
+def test_expression_blendshapes():
+    """expression coeffs must displace vertices by expr_dirs @ expression
+    (reference body_models.py:1197: shape_components = cat([betas, expr]))."""
+    model = _tiny_model(55, "smplx", n_expr=10)
+    b = jnp.zeros((1, 10))
+    g = jnp.zeros((1, 3))
+    body = jnp.zeros((1, 63))
+    expr = jnp.asarray(np.linspace(-1, 1, 10, dtype=np.float32)[None])
+
+    rest = forward(model, b, g, body)
+    out = forward(model, b, g, body, expression=expr)
+    expected = np.asarray(rest.vertices[0]) + np.einsum(
+        "vde,e->vd", np.asarray(model.expr_dirs), np.asarray(expr[0])
+    )
+    np.testing.assert_allclose(np.asarray(out.vertices[0]), expected, atol=1e-5)
+
+    # a model without expr_dirs must reject expressions loudly
+    import pytest
+    with pytest.raises(ValueError):
+        forward(_tiny_model(55, "smplx"), b, g, body, expression=expr)
+
+
+def test_loader_splits_expression_dirs(tmp_path):
+    """SMPL-X files with >300 shapedir columns store expressions at [300:];
+    the loader must slice them into expr_dirs (body_models.py:1004-1017)."""
+    rng = np.random.default_rng(2)
+    V, J = 30, 55
+    data = {
+        "v_template": rng.normal(size=(V, 3)),
+        "shapedirs": rng.normal(size=(V, 3, 400)),
+        "posedirs": rng.normal(size=(V, 3, 9 * (J - 1))),
+        "J_regressor": rng.uniform(size=(J, V)),
+        "kintree_table": np.stack(
+            [np.concatenate([[2**32 - 1], np.zeros(J - 1, np.int64)]), np.arange(J)]
+        ),
+        "weights": (lambda w: w / w.sum(1, keepdims=True))(rng.uniform(size=(V, J))),
+        "f": rng.integers(0, V, size=(50, 3)),
+    }
+    np.savez(os.path.join(tmp_path, "SMPLX_NEUTRAL.npz"), **data)
+    model = load_body_model(str(tmp_path), "smplx", "neutral", num_betas=10, num_expressions=10)
+    assert model.shapedirs.shape == (V, 3, 10)
+    assert model.expr_dirs.shape == (V, 3, 10)
+    np.testing.assert_allclose(
+        np.asarray(model.expr_dirs), data["shapedirs"][:, :, 300:310], atol=1e-6
+    )
+
+
 def test_smplx_pose_assembly():
     """SMPL-X forward must assemble [global, body63, jaw, eyes, hands90] and
     default missing parts to zero (flat_hand_mean semantics)."""

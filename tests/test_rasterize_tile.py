@@ -120,13 +120,116 @@ def test_gradients_match_finite_differences():
         assert abs(fd - an) < 5e-3 * max(1.0, abs(fd), abs(an)), (i, j, fd, an)
 
 
+def _one_tile_scene(n=24, seed=5, hw=16):
+    """All gaussians land in ONE 16x16 tile so per-tile depth order equals
+    global depth order and K-truncation is exactly checkable against brute."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[80.0, 0, hw / 2], [0, 80.0, hw / 2], [0, 0, 1]], np.float32)
+    cam = Camera.from_extrinsics(
+        np.eye(3, dtype=np.float32), np.array([0, 0, 2.0], np.float32), K, hw, hw
+    )
+    means = rng.normal(scale=0.04, size=(n, 3)).astype(np.float32)
+    means[:, 2] = np.linspace(-0.3, 0.3, n)  # distinct depths
+    scales = rng.uniform(0.01, 0.03, size=(n, 3)).astype(np.float32)
+    q = np.tile(np.array([[1.0, 0, 0, 0]], np.float32), (n, 1))
+    opac = rng.uniform(0.05, 0.3, size=(n,)).astype(np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    bg = np.array([1.0, 1.0, 1.0], np.float32)
+    return cam, tuple(map(jnp.asarray, (means, scales, q, opac, colors, bg)))
+
+
 def test_capacity_overflow_keeps_closest():
-    """With K smaller than the per-tile load the nearest-in-depth gaussians
-    must win and the render must still be finite/valid."""
-    cam, arrays = make_scene(n=100, seed=5)
-    cfg_small = CFG_XLA._replace(tile_capacity=8)
-    img = _render(cam, tuple(arrays), cfg_small)
-    assert np.isfinite(np.asarray(img)).all()
+    """With K smaller than the tile load, the render must equal a brute render
+    of exactly the K closest-in-depth gaussians, and the dropped pair count
+    must be reported as overflow (nothing is silent)."""
+    from gaussianavatar_tpu.ops.rasterize import rasterize_views
+
+    cam, arrays = _one_tile_scene(n=24)
+    means, scales, q, opac, colors, bg = arrays
+    Kcap = 8
+    cfg_small = CFG_XLA._replace(tile_capacity=Kcap)
+
+    img, overflow = rasterize_views(
+        means[None], colors[None], scales[None], q, opac, cam.world_view_transform[None],
+        cam.full_proj_transform[None], cam.tan_fovx[None], cam.tan_fovy[None],
+        cam.height, cam.width, bg, config=cfg_small, return_overflow=True,
+    )
+    assert int(overflow) == 24 - Kcap
+
+    proj = project_gaussians(
+        means, scales, q, cam.world_view_transform, cam.full_proj_transform,
+        cam.tan_fovx, cam.tan_fovy, cam.height, cam.width,
+    )
+    order = np.argsort(np.asarray(proj.depths))
+    keep = jnp.asarray(np.sort(order[:Kcap]))
+    proj_k = type(proj)(*(x[keep] for x in proj))
+    ref = rasterize_brute(proj_k, colors[keep], opac[keep], bg, cam.height, cam.width)
+    np.testing.assert_allclose(np.asarray(img[0]), np.asarray(ref), atol=2e-5)
+
+
+def test_two_tier_capacity_exact_and_no_overflow():
+    """tile_capacity_hi: the busy tile blends depth ranks [K, K+K_hi) in a
+    second composed pass — the result must equal the full uncapped brute
+    render and overflow must drop to zero."""
+    from gaussianavatar_tpu.ops.rasterize import rasterize_views
+
+    cam, arrays = _one_tile_scene(n=24)
+    means, scales, q, opac, colors, bg = arrays
+    for backend in ("xla", "pallas_interpret"):
+        cfg = CFG_XLA._replace(
+            tile_capacity=8, tile_capacity_hi=16, heavy_fraction=1.0, backend=backend
+        )
+        img, overflow = rasterize_views(
+            means[None], colors[None], scales[None], q, opac,
+            cam.world_view_transform[None], cam.full_proj_transform[None],
+            cam.tan_fovx[None], cam.tan_fovy[None],
+            cam.height, cam.width, bg, config=cfg, return_overflow=True,
+        )
+        assert int(overflow) == 0, backend
+        ref = _render_brute(cam, arrays)
+        np.testing.assert_allclose(np.asarray(img[0]), np.asarray(ref), atol=2e-5, err_msg=backend)
+
+
+def test_three_tier_cascade_exact():
+    """An explicit (cap, fraction) cascade must also reproduce the uncapped
+    brute render with overflow 0 (tiers nest: 8 + 8@f1 + 8@f1 covers 24)."""
+    from gaussianavatar_tpu.ops.rasterize import rasterize_views
+
+    cam, arrays = _one_tile_scene(n=24)
+    means, scales, q, opac, colors, bg = arrays
+    cfg = CFG_XLA._replace(tile_capacity=8, tiers=((8, 1.0), (8, 1.0), (8, 1.0)))
+    img, overflow = rasterize_views(
+        means[None], colors[None], scales[None], q, opac,
+        cam.world_view_transform[None], cam.full_proj_transform[None],
+        cam.tan_fovx[None], cam.tan_fovy[None],
+        cam.height, cam.width, bg, config=cfg, return_overflow=True,
+    )
+    assert int(overflow) == 0
+    ref = _render_brute(cam, arrays)
+    np.testing.assert_allclose(np.asarray(img[0]), np.asarray(ref), atol=2e-5)
+
+
+def test_two_tier_gradients_match_single_tier():
+    """Gradients through the composed two-segment blend must match the
+    single-pass full-capacity blend (both cover every gaussian)."""
+    cam, arrays = _one_tile_scene(n=24)
+    means, scales, q, opac, colors, bg = arrays
+    target = jnp.zeros((3, cam.height, cam.width))
+
+    def loss(cfg):
+        def f(means, colors, opac):
+            img = rasterize(means, colors, scales, q, opac, cam, bg, config=cfg)
+            return ((img - target) ** 2).mean()
+        return f
+
+    cfg_full = CFG_XLA._replace(tile_capacity=24)
+    cfg_two = CFG_XLA._replace(tile_capacity=8, tile_capacity_hi=16, heavy_fraction=1.0)
+    g_full = jax.grad(loss(cfg_full), argnums=(0, 1, 2))(means, colors, opac)
+    g_two = jax.grad(loss(cfg_two), argnums=(0, 1, 2))(means, colors, opac)
+    for name, gf, gt in zip(["means", "colors", "opac"], g_full, g_two):
+        gf, gt = np.asarray(gf), np.asarray(gt)
+        scale = max(1e-6, np.abs(gf).max())
+        np.testing.assert_allclose(gt, gf, atol=1e-4 * scale, rtol=1e-4, err_msg=name)
 
 
 def test_nonmultiple_image_size():
