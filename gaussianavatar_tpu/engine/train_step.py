@@ -125,11 +125,27 @@ def make_train_step(
     lpips_fn: Optional[Callable] = None,
     jit: bool = True,
     aiap_nn=None,
+    gt_bank: Optional[jax.Array] = None,
+    inp_bank: Optional[jax.Array] = None,
 ):
+    """gt_bank/inp_bank: device-resident per-frame GT images ((N,3,H,W) uint8
+    — lossless, PNGs are 8-bit) and stage-2 input posmaps, indexed by the
+    batch's pose_idx inside the step. With them the per-step host->device
+    payload is a few KB of indices/cameras instead of the full image batch —
+    essential when the host link is thin (measured 10 MB/s through the axon
+    tunnel: a 6MB 512^2 B=2 GT batch would cost 600ms/step)."""
     render_views = make_render_views(H, W, bg_color, raster_cfg)
 
     def train_step(state: TrainState, batch, w_rgl, pose_opt_gate, lpips_gate):
         iteration = state.iteration + 1
+        if gt_bank is not None:
+            batch = dict(
+                batch,
+                original_image=gt_bank[batch["pose_idx"]].astype(jnp.float32) / 255.0,
+            )
+        if inp_bank is not None:
+            ii = batch["pose_idx"] * 0 if inp_bank.shape[0] == 1 else batch["pose_idx"]
+            batch = dict(batch, inp_pos_map=inp_bank[ii])
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -206,6 +222,8 @@ def make_train_step_scan(
     train_stage: int = 1,
     lpips_fn: Optional[Callable] = None,
     aiap_nn=None,
+    gt_bank: Optional[jax.Array] = None,
+    inp_bank: Optional[jax.Array] = None,
 ):
     """Multi-step dispatch: lax.scan S train steps inside one XLA program,
     bit-identical to S sequential steps (verified on TPU). Useful when host
@@ -215,6 +233,7 @@ def make_train_step_scan(
     single = make_train_step(
         net, body_model, assets, tx, opt_cfg, H, W, bg_color, raster_cfg,
         train_stage=train_stage, lpips_fn=lpips_fn, jit=False, aiap_nn=aiap_nn,
+        gt_bank=gt_bank, inp_bank=inp_bank,
     )
 
     @functools.partial(jax.jit, donate_argnums=0)
