@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gaussianavatar_tpu.models import keypoints
 from gaussianavatar_tpu.ops.lbs import lbs
 
 SMPL_NUM_JOINTS = 24
@@ -49,11 +50,15 @@ class BodyModel(NamedTuple):
     # expression blendshapes (smplx/flame; reference body_models.py:1004-1017
     # slices them off shapedirs[..., 300:]); None for the other model types
     expr_dirs: Optional[jax.Array] = None  # (V, 3, n_expr)
+    # vertex-anchored extra keypoints (reference VertexJointSelector); set by
+    # the loaders for official-topology meshes, None for synthetic bodies
+    extra_joint_ids: Optional[np.ndarray] = None  # (E,) static int
 
 
 class BodyOutput(NamedTuple):
     vertices: jax.Array   # (B, V, 3)
-    joints: jax.Array     # (B, J, 3)
+    joints: jax.Array     # (B, J, 3); (B, J+E, 3) when the model carries
+                          # extra_joint_ids (official meshes: +21 keypoints)
     A: jax.Array          # (B, J, 4, 4) relative affines (transl folded in)
 
 
@@ -89,6 +94,12 @@ def _from_struct(
     lbs_weights = _to_np(data["weights"]).astype(np.float32)
     faces = _to_np(data["f"]).astype(np.int64)
     J = J_regressor.shape[0]
+    # official-topology meshes get the OpenPose extra-keypoint table
+    # (reference body_models.py builds VertexJointSelector unconditionally;
+    # synthetic/tiny meshes have no such table to index)
+    extra_ids = None
+    if keypoints.OFFICIAL_NUM_VERTS.get(model_type) == v_template.shape[0]:
+        extra_ids = keypoints.extra_joint_ids(model_type)
     return BodyModel(
         v_template=jnp.asarray(v_template),
         shapedirs=jnp.asarray(shapedirs),
@@ -99,6 +110,7 @@ def _from_struct(
         faces=faces,
         model_type=model_type,
         expr_dirs=jnp.asarray(expr_dirs) if expr_dirs is not None else None,
+        extra_joint_ids=extra_ids,
     )
 
 
@@ -229,6 +241,10 @@ def forward(
         model.parents,
         model.lbs_weights,
     )
+    if model.extra_joint_ids is not None:
+        # append the vertex-anchored OpenPose keypoints (reference SMPL.forward
+        # runs VertexJointSelector on every call: body_models.py:365)
+        joints = keypoints.select_extra_joints(verts, joints, model.extra_joint_ids)
     if transl is not None:
         t = transl[:, None, :]
         verts = verts + t

@@ -203,3 +203,43 @@ def test_smplx_pose_assembly():
     )
     assert out.A.shape == (1, 55, 4, 4)
     np.testing.assert_allclose(np.asarray(out.vertices[0]), np.asarray(model.v_template), atol=1e-5)
+
+
+def test_vertex_joint_selector(tmp_path):
+    """Official-topology meshes must get the 21 OpenPose extra keypoints
+    appended to the regressed joints, each equal to its anchor vertex
+    (reference vertex_joint_selector.py:73-77, tables vertex_ids.py)."""
+    from gaussianavatar_tpu.models import keypoints
+
+    rng = np.random.default_rng(3)
+    V, J = keypoints.OFFICIAL_NUM_VERTS["smpl"], 24
+    data = {
+        "v_template": rng.normal(size=(V, 3)),
+        "shapedirs": rng.normal(scale=0.01, size=(V, 3, 10)),
+        "posedirs": np.zeros((V, 3, 9 * (J - 1))),
+        "J_regressor": np.ones((J, V)) / V,
+        "kintree_table": np.stack(
+            [np.concatenate([[2**32 - 1], np.zeros(J - 1, int)]), np.arange(J)]
+        ),
+        "weights": np.ones((V, J)) / J,
+        "f": np.zeros((4, 3), int),
+    }
+    p = os.path.join(tmp_path, "SMPL_NEUTRAL.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+    model = load_body_model(p, "smpl")
+    assert model.extra_joint_ids is not None and len(model.extra_joint_ids) == 21
+
+    transl = jnp.asarray([[0.1, 0.2, 0.3]])
+    out = forward(model, jnp.zeros((1, 10)), jnp.zeros((1, 3)),
+                  jnp.zeros((1, (J - 1) * 3)), transl=transl)
+    assert out.joints.shape == (1, J + 21, 3)
+    np.testing.assert_allclose(
+        np.asarray(out.joints[0, J:]),
+        np.asarray(out.vertices[0])[model.extra_joint_ids],
+        atol=1e-6,
+    )
+    # tiny synthetic meshes are unaffected
+    out2 = forward(_tiny_model(24, "smpl"), jnp.zeros((1, 10)),
+                   jnp.zeros((1, 3)), jnp.zeros((1, 69)))
+    assert out2.joints.shape == (1, 24, 3)
