@@ -37,6 +37,10 @@ class RasterizeConfig(NamedTuple):
     # of busiest tiles blending that extra depth segment; overrides the
     # two-tier fields when non-empty, e.g. ((256, 1.0), (512, .25), (512, .0625))
     tiers: tuple = ()
+    # accumulator dtype of the Pallas forward blend ("float32"/"bfloat16").
+    # bf16 accumulation was measured and REJECTED for the default (see
+    # BASELINE.md round-2 bf16 experiment); the knob remains for study.
+    blend_acc_dtype: str = "float32"
 
 
 def rasterize(

@@ -227,7 +227,7 @@ def _blend_xla(params: jax.Array, tileids: jax.Array, txn: int, ts: int):
 
 def _fwd_kernel(
     tileid_ref, count_ref, params_ref, color_ref, finalT_ref, ncon_ref, done_ref,
-    *, K, ts, txn,
+    *, K, ts, txn, acc=jnp.float32,
 ):
     pxr = ts * ts // _LANES
     t = pl.program_id(0)
@@ -238,6 +238,10 @@ def _fwd_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (pxr, _LANES), 0) * _LANES
         + jax.lax.broadcasted_iota(jnp.int32, (pxr, _LANES), 1)
     )
+    # `acc` is the blend compute/accumulate dtype (the bf16 experiment knob).
+    # Pixel coords stay f32: at bf16, x=511 has ulp 2px. dx is computed f32
+    # against the f32 mean, THEN cast — dx is tile-local (|dx| < M*ts), so
+    # the cast costs ~0.4% of dx instead of 2px of absolute position.
     px = (tx * ts + f % ts).astype(jnp.float32)
     py = (ty * ts + f // ts).astype(jnp.float32)
 
@@ -250,22 +254,27 @@ def _fwd_kernel(
         p = params_ref[0, pl.ds(k0, _CHUNK), :]  # (_CHUNK, 16)
         for g in range(_CHUNK):
             k = k0 + g
-            dx = px - p[g, 0]
-            dy = py - p[g, 1]
-            ca, cb_, cc = p[g, 2], p[g, 3], p[g, 4]
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb_ * dx * dy
+            dx = (px - p[g, 0]).astype(acc)
+            dy = (py - p[g, 1]).astype(acc)
+            ca, cb_, cc = (p[g, 2].astype(acc), p[g, 3].astype(acc),
+                           p[g, 4].astype(acc))
+            power = -acc(0.5) * (ca * dx * dx + cc * dy * dy) - cb_ * dx * dy
             gval = jnp.exp(power)
-            alpha = jnp.minimum(p[g, 8] * gval, ALPHA_MAX)
+            alpha = jnp.minimum(p[g, 8].astype(acc) * gval, acc(ALPHA_MAX))
             ok = (p[g, 9] > 0) & (k < count)
-            live = ok & (power <= 0.0) & (alpha >= ALPHA_MIN)
-            test_T = T * (1.0 - alpha)
-            trig = live & (test_T < T_EPS)
+            # masks come from f32 casts: Mosaic can't mix i1 masks laid out
+            # from 16-bit and 32-bit comparands in one blend (relayout error)
+            pow32 = power.astype(jnp.float32)
+            al32 = alpha.astype(jnp.float32)
+            live = ok & (pow32 <= 0.0) & (al32 >= ALPHA_MIN)
+            test_T = T * (acc(1.0) - alpha)
+            trig = live & (test_T.astype(jnp.float32) < T_EPS)
             done = jnp.maximum(done, trig.astype(jnp.float32))  # f32 carry: Mosaic dislikes bool loop state
             m = live & (done == 0.0)
-            w = jnp.where(m, alpha * T, 0.0)
-            cr = cr + w * p[g, 5]
-            cg = cg + w * p[g, 6]
-            cb = cb + w * p[g, 7]
+            w = jnp.where(m, alpha * T, acc(0.0))
+            cr = cr + w * p[g, 5].astype(acc)
+            cg = cg + w * p[g, 6].astype(acc)
+            cb = cb + w * p[g, 7].astype(acc)
             T = jnp.where(m, test_T, T)
             ncon = jnp.where(m, k + 1, ncon)
         return (ci + 1, T, cr, cg, cb, done, ncon)
@@ -275,19 +284,19 @@ def _fwd_kernel(
         # early termination once EVERY pixel saturated (CUDA __syncthreads_count)
         return (ci < nchunks) & (jnp.min(done) < 1.0)
 
-    zero = jnp.zeros((pxr, _LANES), jnp.float32)
+    zero = jnp.zeros((pxr, _LANES), acc)
     init = (
         jnp.int32(0),
-        jnp.ones((pxr, _LANES), jnp.float32),
+        jnp.ones((pxr, _LANES), acc),
         zero, zero, zero,
-        zero,  # done mask carried as f32
+        jnp.zeros((pxr, _LANES), jnp.float32),  # done mask carried as f32
         jnp.zeros((pxr, _LANES), jnp.int32),
     )
     _, T, cr, cg, cb, done, ncon = jax.lax.while_loop(cond, body, init)
-    color_ref[0, 0] = cr
-    color_ref[0, 1] = cg
-    color_ref[0, 2] = cb
-    finalT_ref[0] = T
+    color_ref[0, 0] = cr.astype(jnp.float32)
+    color_ref[0, 1] = cg.astype(jnp.float32)
+    color_ref[0, 2] = cb.astype(jnp.float32)
+    finalT_ref[0] = T.astype(jnp.float32)
     ncon_ref[0] = ncon
     done_ref[0] = done
 
@@ -384,10 +393,10 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, nchunks, body, (finalT, zero, zero, zero))
 
 
-def _pallas_fwd(params, counts, tileids, txn, ts, K, interpret):
+def _pallas_fwd(params, counts, tileids, txn, ts, K, interpret, acc=jnp.float32):
     G = params.shape[0]  # grid size = number of selected tiles
     pxr = ts * ts // _LANES
-    kernel = functools.partial(_fwd_kernel, K=K, ts=ts, txn=txn)
+    kernel = functools.partial(_fwd_kernel, K=K, ts=ts, txn=txn, acc=acc)
     return pl.pallas_call(
         kernel,
         grid=(G,),
@@ -435,18 +444,24 @@ def _pallas_bwd(params, counts, tileids, finalT, ncon, gimg, gfT, txn, ts, K, in
 
 
 @functools.lru_cache(maxsize=32)
-def _make_pallas_blend(txn: int, ts: int, K: int, interpret: bool):
+def _make_pallas_blend(txn: int, ts: int, K: int, interpret: bool,
+                       acc_name: str = "float32"):
     """custom-VJP blend over packed per-tile params; pixel axis lives as
     (ts*ts/128, 128) so every vector op is a full VPU register. The grid is
     one step per selected tile: a full batch of views, or any subset of
-    tiles (the two-tier heavy pass), rides ONE launch."""
+    tiles (the two-tier heavy pass), rides ONE launch.
+
+    `acc_name` sets the FORWARD compute/accumulate dtype (bf16 experiment);
+    the backward kernel always runs f32 — grads feed an f32 optimizer."""
+    acc = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[acc_name]
 
     @jax.custom_vjp
     def blend(params, counts, tileids):
-        return _pallas_fwd(params, counts, tileids, txn, ts, K, interpret)
+        return _pallas_fwd(params, counts, tileids, txn, ts, K, interpret, acc)
 
     def blend_fwd(params, counts, tileids):
-        color, finalT, ncon, done = _pallas_fwd(params, counts, tileids, txn, ts, K, interpret)
+        color, finalT, ncon, done = _pallas_fwd(
+            params, counts, tileids, txn, ts, K, interpret, acc)
         return (color, finalT, ncon, done), (params, counts, tileids, finalT, ncon)
 
     def blend_bwd(res, cot):
@@ -535,9 +550,10 @@ def rasterize_views_binned(
             )
     else:
         interpret = backend == "pallas_interpret"
+        acc_name = str(getattr(config, "blend_acc_dtype", "float32"))
 
         def blend_any(p, c, tids):
-            return _make_pallas_blend(txn, ts, p.shape[1], interpret)(p, c, tids)
+            return _make_pallas_blend(txn, ts, p.shape[1], interpret, acc_name)(p, c, tids)
 
     color_t, finalT_t, _, done_t = blend_any(params, counts, tileids)
 
