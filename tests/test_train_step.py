@@ -236,3 +236,75 @@ def test_cached_render_matches_full():
     img_cached = cached(cache, state.params, batch)
 
     np.testing.assert_allclose(np.asarray(img_cached), np.asarray(img_full), atol=1e-5)
+
+
+def test_gt_bank_step_matches_explicit_images():
+    """The device-resident GT bank path (gather by pose_idx inside the step)
+    must produce the SAME update as feeding the images explicitly. Bank
+    storage is uint8, so both sides are fed the same quantized pixels."""
+    model, assets, cam, poses, transls, gts = fixture()
+    opt = OptimizationParams(epochs=200)
+    net = AvatarNet(
+        num_frames=N_FRAMES, pose_dim=poses.shape[1], c_geom=16, c_pose=16,
+        inp_posmap_size=32, hsize=64, nf=8, train_stage=1,
+        pose_init=poses, transl_init=transls,
+    )
+    state0 = init_state(net, assets, tx=None_safe_tx(), batch_size=2)
+    tx = build_optimizer(state0.params, opt, steps_per_epoch=2, train_stage=1)
+    # the jitted step donates its input state: each side needs its own buffers
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x), t)
+    state_a = state0.replace(params=copy(state0.params),
+                             opt_state=tx.init(state0.params))
+    state_b = copy(state0.replace(opt_state=tx.init(state0.params)))
+
+    bank_u8 = np.clip(np.rint(gts * 255.0), 0, 255).astype(np.uint8)
+    # compute the dequantized GT ON DEVICE: XLA lowers /255 to *(1/255), so a
+    # host-side numpy division differs by 1 ulp, which adam's near-zero-moment
+    # normalization then amplifies; device-computed values are bit-identical
+    gts_q = np.asarray(jnp.asarray(bank_u8).astype(jnp.float32) / 255.0)
+
+    step_plain = make_train_step(
+        net, model, assets, tx, opt, H, W, (1.0, 1.0, 1.0), RASTER_CFG, train_stage=1
+    )
+    step_bank = make_train_step(
+        net, model, assets, tx, opt, H, W, (1.0, 1.0, 1.0), RASTER_CFG,
+        train_stage=1, gt_bank=jnp.asarray(bank_u8),
+    )
+
+    rng = np.random.default_rng(1)
+    for step_i in range(3):
+        idxs = rng.choice(N_FRAMES, size=2, replace=False)
+        batch = make_batch(cam, poses, transls, gts_q, idxs)
+        bank_batch = {k: v for k, v in batch.items() if k != "original_image"}
+        state_a, terms_a, _ = step_plain(
+            state_a, batch, jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0)
+        )
+        state_b, terms_b, _ = step_bank(
+            state_b, bank_batch, jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0)
+        )
+        # per-step loss equality on EVOLVING states is the plumbing check: a
+        # wrong gather index or dequant would compound into O(1e-1) by step 3
+        np.testing.assert_allclose(
+            float(terms_a["total"]), float(terms_b["total"]), rtol=3e-5,
+            err_msg=f"step {step_i}",
+        )
+    # Param tolerance is loose BY NECESSITY, not sloppiness: the decoder's
+    # Dense biases feed straight into BatchNorm, so their true gradient is
+    # exactly zero — each XLA program leaves different ~1e-10 float noise
+    # there, and adam's g/(sqrt(g^2)+eps) turns that noise into full +-lr
+    # sign flips (measured 3e-3 after one step). Meaningful params (kernels,
+    # geo_feature, embeddings) agree to ~1e-5.
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(state_a.params),
+        jax.tree_util.tree_leaves_with_path(state_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=2e-2,
+                                   err_msg=str(ka))
+    np.testing.assert_allclose(
+        np.asarray(state_a.params["pose_embedding"]),
+        np.asarray(state_b.params["pose_embedding"]), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_a.params["geo_feature"]),
+        np.asarray(state_b.params["geo_feature"]), atol=1e-4,
+    )
