@@ -6,6 +6,8 @@ splatting of ~115k gaussians — i.e. the `render_novel_pose.py` workload
 (BASELINE.md: target >= 30 FPS @ 512^2 per v5e chip; vs_baseline = fps/30).
 
 Extra fields on the same JSON line:
+  render_fps_1024px — same pipeline at 1024^2 (the reference's novel-pose
+    default resolution, dataset_mono.py:492).
   stage1_train_it_per_sec — wall iters/sec of the fused stage-1 train step
     (B=2 @512^2, full loss + grads + optax update), device-prefetched feeds:
     the `train.py --train_stage 1` steady-state rate.
@@ -111,6 +113,31 @@ def main():
     dt = (time.time() - t0) / (n_calls * B)
     fps = 1.0 / dt
 
+    # ---- extra 0: 1024^2 rendering (reference novel-pose default resolution)
+    H2 = W2 = 1024
+    K2 = np.array([[1120.0, 0, W2 / 2], [0, 1120.0, H2 / 2], [0, 0, 1]], np.float32)
+    cam2 = Camera.from_extrinsics(
+        np.eye(3, dtype=np.float32), np.array([0.0, -0.8, 1.6], np.float32), K2, H2, W2
+    )
+    render2 = make_cached_render_fn(net, model, assets, H2, W2, (1.0, 1.0, 1.0), raster_cfg)
+
+    def batch2_for(i, n=B):
+        b = batch_for(i, n)
+        tile = lambda x: jnp.tile(x[None], (n,) + (1,) * x.ndim)
+        b["world_view_transform"] = tile(cam2.world_view_transform)
+        b["full_proj_transform"] = tile(cam2.full_proj_transform)
+        b["tan_fovx"] = tile(cam2.tan_fovx)
+        b["tan_fovy"] = tile(cam2.tan_fovy)
+        return b
+
+    img = render2(cache, state.params, batch2_for(0), it)
+    img.block_until_ready()
+    t0 = time.time()
+    for i in range(n_calls):
+        img = render2(cache, state.params, batch2_for(i * B % NF), it)
+    img.block_until_ready()
+    fps_1024 = 1.0 / ((time.time() - t0) / (n_calls * B))
+
     # ---- extra 1: overflow on one rendered batch (truncation is never silent)
     from gaussianavatar_tpu.engine.train_step import _forward_gaussians
     from gaussianavatar_tpu.ops.rasterize import rasterize_views
@@ -164,6 +191,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 30.0, 3),
+                "render_fps_1024px": round(fps_1024, 2),
                 "stage1_train_it_per_sec": round(train_ips, 2),
                 "render_overflow": overflow,
             }
