@@ -100,11 +100,14 @@ class OptimizationParams:
     lr_net: float = 3e-3
     lr_geomfeat: float = 5e-4
     lr_pose: float = 5e-3           # SparseAdam lr (avatar_model.py:113)
-    steps_per_dispatch: int = 1     # lax.scan S optimizer steps per device
-                                    # dispatch; bit-identical to sequential
-                                    # steps (verified). Helps only when host
-                                    # dispatch latency dominates; logging
-                                    # granularity becomes S steps.
+    steps_per_dispatch: int = 8     # lax.scan S optimizer steps per device
+                                    # dispatch; same trajectory as sequential
+                                    # steps (tests/test_train_step.py). With
+                                    # the GT bank the per-step feed is a few
+                                    # KB, so dispatch latency dominates:
+                                    # measured 14.6 -> 19.5 it/s wall @512^2
+                                    # going 1 -> 8. Logging granularity
+                                    # becomes S steps; set 1 to disable.
     sched_milestones: List[int] = field(default_factory=list)
     # The reference calls MultiStepLR.step() per ITERATION with epoch-unit
     # milestones (avatar_model.py:267 + arguments:142) so the LR actually

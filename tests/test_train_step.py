@@ -308,3 +308,67 @@ def test_gt_bank_step_matches_explicit_images():
         np.asarray(state_a.params["geo_feature"]),
         np.asarray(state_b.params["geo_feature"]), atol=1e-4,
     )
+
+
+def test_scan_steps_match_sequential():
+    """make_train_step_scan(S steps in one lax.scan dispatch) must produce
+    the same trajectory as S sequential single-step dispatches — the
+    guarantee that lets `steps_per_dispatch` default on for throughput."""
+    from gaussianavatar_tpu.engine.train_step import make_train_step_scan
+
+    model, assets, cam, poses, transls, gts = fixture()
+    opt = OptimizationParams(epochs=200)
+    net = AvatarNet(
+        num_frames=N_FRAMES, pose_dim=poses.shape[1], c_geom=16, c_pose=16,
+        inp_posmap_size=32, hsize=64, nf=8, train_stage=1,
+        pose_init=poses, transl_init=transls,
+    )
+    state0 = init_state(net, assets, tx=None_safe_tx(), batch_size=2)
+    tx = build_optimizer(state0.params, opt, steps_per_epoch=2, train_stage=1)
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x), t)
+    state_seq = state0.replace(params=copy(state0.params),
+                               opt_state=tx.init(state0.params))
+    state_scan = copy(state0.replace(opt_state=tx.init(state0.params)))
+
+    step = make_train_step(
+        net, model, assets, tx, opt, H, W, (1.0, 1.0, 1.0), RASTER_CFG, train_stage=1
+    )
+    scan_step = make_train_step_scan(
+        net, model, assets, tx, opt, H, W, (1.0, 1.0, 1.0), RASTER_CFG, train_stage=1
+    )
+
+    rng = np.random.default_rng(2)
+    batches = []
+    for _ in range(4):
+        idxs = rng.choice(N_FRAMES, size=2, replace=False)
+        batches.append(make_batch(cam, poses, transls, gts, idxs))
+    f1, f0 = jnp.float32(1.0), jnp.float32(0.0)
+    for b in batches:
+        state_seq, terms_seq, _ = step(state_seq, b, f1, f0, f0)
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    state_scan, terms_scan, _ = scan_step(state_scan, stacked, f1, f0, f0)
+
+    # the scan body IS the single step, but it is compiled as a different
+    # XLA program (loop context), so fusion may reassociate reductions at
+    # ulp level — hence tolerances instead of bit equality
+    np.testing.assert_allclose(
+        float(terms_seq["total"]), float(terms_scan["total"][-1]), rtol=1e-5
+    )
+    assert int(state_scan.iteration) == int(state_seq.iteration) == 4
+    # loose overall + tight on the meaningful params, for the same reason as
+    # test_gt_bank_step_matches_explicit_images: adam amplifies cross-program
+    # ulp grad noise (esp. exact-zero BN-absorbed bias grads) to ~lr scale
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(state_seq.params),
+        jax.tree_util.tree_leaves_with_path(state_scan.params),
+    ):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=2e-2,
+                                   err_msg=str(ka))
+    np.testing.assert_allclose(
+        np.asarray(state_seq.params["pose_embedding"]),
+        np.asarray(state_scan.params["pose_embedding"]), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_seq.params["geo_feature"]),
+        np.asarray(state_scan.params["geo_feature"]), atol=1e-4,
+    )
