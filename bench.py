@@ -157,7 +157,9 @@ def main():
 
     overflow = int(overflow_probe(state.params, state.batch_stats, batch_for(0)))
 
-    # ---- extra 2: fused stage-1 train-step wall throughput (B=2 @512^2)
+    # ---- extra 2: fused stage-1 train-step wall throughput (B=2 @512^2),
+    # same raster profile train.py uses (leaner train tiers were measured
+    # and rejected for quality — see RasterParams/BASELINE.md)
     Bt = 2
     opt = OptimizationParams()
     state_t = init_state(net, assets, _TX0(), batch_size=Bt)

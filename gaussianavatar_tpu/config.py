@@ -136,6 +136,13 @@ class RasterParams:
     # 512 at 72.5 FPS / 19.0 dB — faster AND closer to the uncapped CUDA
     tile_capacity_hi: int = 768         # two-tier: extra depth ranks for busy tiles
     heavy_fraction: float = 0.25        # fraction of tiles granted the hi capacity
+    # Optional train-only heavy-tier override. A leaner train tier was
+    # measured (640@.125: 48.6 -> 41.5 ms/step, +17% it/s) and REJECTED:
+    # converged held-out PSNR dropped 31.9 -> 29.0 (controls: cap 768->640
+    # costs ~2 dB, fraction .25->.125 costs ~0.8 dB — gradient fidelity in
+    # busy tiles matters; see BASELINE.md). Defaults equal the render tier.
+    train_tile_capacity_hi: int = 768
+    train_heavy_fraction: float = 0.25
 
 
 def _add_group(parser: ArgumentParser, cls, name: str, shorthands: dict):

@@ -80,15 +80,20 @@ def save_image_grid(path: str, images: np.ndarray):
     Image.fromarray(grid).save(path)
 
 
-def raster_config(cfg: Config) -> RasterizeConfig:
+def raster_config(cfg: Config, train: bool = False) -> RasterizeConfig:
+    """train=True selects the leaner heavy tier for the fused train step
+    (see RasterParams.train_tile_capacity_hi); eval/render keep the
+    fidelity-tuned cascade."""
     r = cfg.raster
     return RasterizeConfig(
         tile_size=r.tile_size,
         tile_capacity=r.tile_capacity,
         max_tiles_per_gaussian=r.max_tiles_per_gaussian,
         backend=r.backend,
-        tile_capacity_hi=r.tile_capacity_hi,
-        heavy_fraction=r.heavy_fraction,
+        tile_capacity_hi=getattr(r, "train_tile_capacity_hi", r.tile_capacity_hi)
+        if train else r.tile_capacity_hi,
+        heavy_fraction=getattr(r, "train_heavy_fraction", r.heavy_fraction)
+        if train else r.heavy_fraction,
     )
 
 
@@ -177,7 +182,7 @@ def train(
 
     step_fn = make_train_step(
         bundle.net, bundle.body_model, bundle.assets, tx, opt,
-        H, W, bg, raster_config(cfg), train_stage=mp.train_stage,
+        H, W, bg, raster_config(cfg, train=True), train_stage=mp.train_stage,
         lpips_fn=lpips_fn, aiap_nn=aiap_nn, gt_bank=gt_bank, inp_bank=inp_bank,
     )
     spd = max(int(getattr(opt, "steps_per_dispatch", 1)), 1)
@@ -185,7 +190,7 @@ def train(
     if spd > 1:
         multi_fn = make_train_step_scan(
             bundle.net, bundle.body_model, bundle.assets, tx, opt,
-            H, W, bg, raster_config(cfg), train_stage=mp.train_stage,
+            H, W, bg, raster_config(cfg, train=True), train_stage=mp.train_stage,
             lpips_fn=lpips_fn, aiap_nn=aiap_nn, gt_bank=gt_bank, inp_bank=inp_bank,
         )
 

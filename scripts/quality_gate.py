@@ -7,9 +7,9 @@ asserts regression gates:
   1. stage-1 train to convergence -> eval: held-out PSNR >= gate (default 25)
   2. (--stage2) export poses -> per-frame posmaps -> stage-2 train -> eval:
      PSNR within 1 dB of stage 1
-  3. (--pose_opt) perturb the train-split poses, train with per-frame pose
-     refinement enabled (--pose_op_start_iter): refined pose embeddings must
-     land closer to the true poses than the perturbed inits
+  3. (--pose_opt) frozen-net pose recovery: perturb the converged model's
+     pose embeddings, run SparseAdam-only photometric refinement, require
+     most of the photometric damage recovered without pose drift
      (reference eval.py:74-85 is the analogous acceptance test; the
      pose-refinement mechanism is avatar_model.py:100-113,262-270)
 
@@ -205,7 +205,7 @@ def main():
 
         step = make_train_step(
             bundle.net, bundle.body_model, bundle.assets, tx, cfg.opt,
-            H, W, (1.0, 1.0, 1.0), raster_config(cfg), train_stage=1,
+            H, W, (1.0, 1.0, 1.0), raster_config(cfg, train=True), train_stage=1,
         )
         drop = {"FovX", "FovY", "height", "width", "projection_matrix", "camera_center"}
         one = jnp.float32(1.0)
