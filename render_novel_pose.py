@@ -15,6 +15,8 @@ import numpy as np
 
 def main(argv=None):
     from gaussianavatar_tpu.config import Config, build_parser, extract_config
+    from gaussianavatar_tpu.utils.xla_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     parser = ArgumentParser(description="Novel pose rendering parameters")
     build_parser(parser)

@@ -30,6 +30,9 @@ def main(argv=None):
         saved = Config.load(cfg_path)
     cfg = extract_config(args, saved)
 
+    from gaussianavatar_tpu.utils.xla_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax.numpy as jnp
     from PIL import Image
 

@@ -32,6 +32,9 @@ def main(argv=None):
     cfg = extract_config(args)
     saving_epochs = sorted(set(args.save_epochs + [cfg.opt.epochs]))
 
+    from gaussianavatar_tpu.utils.xla_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     print("Optimizing " + cfg.model.model_path)
     safe_state(args.quiet)
 
