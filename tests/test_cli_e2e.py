@@ -71,6 +71,12 @@ def test_train_eval_novelpose(dataset, tmp_path):
     frames = os.listdir(join(out, "novel_pose"))
     assert any(f.endswith(".png") for f in frames)
 
+    import render_novel_view as rnv_cli
+
+    rnv_cli.main(["-m", out, "--frames", "3", "--bullet_pose_list", "0"])
+    orbit = os.listdir(join(out, "novel_view", "pose_0"))
+    assert sum(f.endswith(".png") for f in orbit) == 3, orbit
+
 
 def test_train_resume(dataset, tmp_path):
     """--checkpoint_epochs resumes from a saved epoch (train.py:36-39)."""
