@@ -54,7 +54,8 @@ class ModelParams:
     fixed_inp: int = 0
     train_mode: int = 0
     cam_static: int = 1
-    cache_frames: int = 1  # RAM-cache decoded frames (uint8; ~1GB/300 1080p frames)
+    cache_frames: int = 1  # RAM-cache decoded frames (uint8, ~6.2MB per 1080p
+                           # frame, capped at 4 GiB) + device GT bank in train
     white_background: bool = True  # -w
     bullet_pose_list: List[int] = field(default_factory=lambda: [112, 217, 755])
     batch_size: int = 2

@@ -118,6 +118,13 @@ class _MonoBase:
 
         self._frame_cache: Dict[str, tuple] = {}
         self._cache_frames = bool(getattr(model_parms, "cache_frames", 1))
+        self._cache_bytes = 0
+        self._cache_budget = 4 << 30  # hard cap: stop inserting past 4 GiB
+        # consumers that keep GT / input posmaps elsewhere (the train loop's
+        # device banks) flip these off to skip the per-item decode entirely
+        self.include_image = True
+        self.include_inp = True
+        self._hw: Optional[tuple] = None
 
     def __len__(self):
         return self.data_length
@@ -134,21 +141,40 @@ class _MonoBase:
     def _load_image(self, name_idx):
         # decoded-frame RAM cache: epochs re-visit the same frames hundreds of
         # times; composited frames are kept as uint8 CHW (4x smaller than f32,
-        # ~1GB per 300 frames at 1080p) and converted per access. Without this
-        # the PNG decode dominates the train wall clock (measured 4 it/s
-        # loader-bound vs 22 it/s compute on a 512^2 synthetic run).
+        # ~6.2 MB/frame at 1080p) and converted per access, capped at 4 GiB
+        # (~650 1080p frames; beyond that later frames just re-decode).
+        # Without it the PNG decode dominates the train wall clock (measured
+        # 4 it/s loader-bound vs 22 it/s compute on a 512^2 synthetic run).
         cached = self._frame_cache.get(name_idx)
         if cached is not None:
             img_u8, h, w = cached
             return img_u8.astype(np.float32) / 255.0, h, w
 
         img, h, w = self._decode_image(name_idx)
-        if self._cache_frames:
+        self._hw = (h, w)
+        if self._cache_frames and self._cache_bytes < self._cache_budget:
             # rint, not truncation: (k/255)*255 can land at k-epsilon
-            self._frame_cache[name_idx] = (
-                np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8), h, w
-            )
+            u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+            self._frame_cache[name_idx] = (u8, h, w)
+            self._cache_bytes += u8.nbytes
         return img, h, w
+
+    def image_hw(self):
+        """(H, W) without decoding more than one frame."""
+        if self._hw is None:
+            _, h, w = self._load_image(self.name_list[0][1])
+            self._hw = (h, w)
+        return self._hw
+
+    def drop_image_cache(self):
+        """Release the host frame cache and stop serving images (the train
+        loop calls this once the GT lives on device as the uint8 bank —
+        keeping a second host copy and re-decoding per batch would duplicate
+        exactly the cost the bank removes)."""
+        self.include_image = False
+        self._frame_cache.clear()
+        self._cache_bytes = 0
+        self._cache_frames = False
 
     def _decode_image(self, name_idx):
         img_path = join(self.data_folder, "images", f"{name_idx}.{self.image_fix}")
@@ -201,12 +227,16 @@ class MonoDatasetTrain(_MonoBase):
     def __getitem__(self, index) -> Dict[str, np.ndarray]:
         pose_idx, name_idx = self.name_list[index]
         R, T, intrinsic = self._load_cam(name_idx)
-        img, height, width = self._load_image(name_idx)
-        item = {"original_image": img, "pose_idx": np.int32(pose_idx)}
+        item = {"pose_idx": np.int32(pose_idx)}
+        if self.include_image:
+            img, height, width = self._load_image(name_idx)
+            item["original_image"] = img
+        else:  # GT lives elsewhere (device bank); only cameras are needed
+            height, width = self.image_hw()
         item.update(_camera_item(R, T, intrinsic, height, width))
         if self.smpl_type == "smplx":
             item["rest_pose"] = self.rest_pose_data[pose_idx]
-        if self.train_stage == 2 and not self.fixed_inp:
+        if self.train_stage == 2 and not self.fixed_inp and self.include_inp:
             item["inp_pos_map"] = self._load_inp_posmap(pose_idx)
         return item
 
@@ -402,4 +432,6 @@ class BatchLoader:
                     futs.append(ex.submit(make, nxt))
                 yield batch
         finally:
-            ex.shutdown(wait=False)
+            # cancel_futures: an early exit (max_steps, consumer break) must
+            # not leave queued decode tasks running behind the loop's back
+            ex.shutdown(wait=False, cancel_futures=True)

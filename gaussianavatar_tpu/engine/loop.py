@@ -103,6 +103,7 @@ def train(
     checkpoint_epochs: Sequence[int] = (),
     lpips_fn=None,
     max_steps: Optional[int] = None,
+    lpips_note: Optional[str] = None,
 ) -> TrainState:
     mp, opt = cfg.model, cfg.opt
     os.makedirs(join(mp.model_path, "log"), exist_ok=True)
@@ -110,8 +111,14 @@ def train(
     logger = MetricsLogger(mp.model_path)
     from gaussianavatar_tpu.ops.lpips import lpips_status
 
+    # run-fact for metrics.jsonl: "active" only when the term is actually in
+    # the loss; a caller-supplied note (e.g. "disabled (--no_lpips)") wins
+    # over re-probing the filesystem, which would claim "active" for weights
+    # the user explicitly turned off
     logger.log_event(
-        "lpips", "active" if lpips_fn is not None else lpips_status(mp.project_path)
+        "lpips",
+        "active" if lpips_fn is not None
+        else (lpips_note or lpips_status(mp.project_path)),
     )
 
     bundle: AvatarBundle = setup_avatar(cfg, train=True)
@@ -171,6 +178,11 @@ def train(
         elif inps:
             inp_bank = jax.device_put(np.stack(inps))
         print(f"GT bank on device: {n_frames} frames, {bank_mb:.0f} MB uint8")
+        # the device bank is now the only GT consumer: stop the dataset from
+        # decoding/caching frames per batch (pure host-side waste from here)
+        bundle.train_dataset.drop_image_cache()
+        if inp_bank is not None:
+            bundle.train_dataset.include_inp = False
 
     aiap_nn = None
     if getattr(opt, "use_aiap", False):
@@ -258,7 +270,10 @@ def train(
                 print(f"iter {first_iter} epoch {epoch} loss {ema_loss:.5f} ({steps_done / max(dt, 1e-9):.2f} it/s)")
                 logger.log(first_iter, {**{k: float(v) for k, v in terms.items()},
                                         "iter_time": dt / max(first_iter - epoch_start * steps_per_epoch, 1)})
-            if (first_iter - 1) % opt.log_iter == 0:
+            # fire when a log boundary falls inside this dispatch group (with
+            # spd > 1, first_iter advances in strides of spd and would never
+            # hit the boundary exactly)
+            if (first_iter - 1) % opt.log_iter < spd:
                 save_image_grid(join(mp.model_path, "log", f"{first_iter:05d}_pred.png"), np.asarray(images))
                 if gt_bank is not None:
                     gt_png = np.asarray(gt_bank[feeds[-1]["pose_idx"]]).astype(np.float32) / 255.0

@@ -84,9 +84,26 @@ def _rebuild_tensor_v2(storage, storage_offset, size, stride, requires_grad=Fals
     arr, dtype = storage
     size = tuple(int(s) for s in size)
     stride = tuple(int(s) for s in stride)
+    storage_offset = int(storage_offset)
     flat = arr[storage_offset:]
     if len(size) == 0:
+        if flat.size < 1:
+            raise ValueError("tensor metadata reaches past its storage")
         return flat[:1].reshape(())[()]
+    # bounds check BEFORE as_strided: a corrupt/crafted file whose size/stride
+    # exceed the storage would otherwise read out-of-bounds process memory
+    # (also catches honestly-truncated archives, where frombuffer silently
+    # yields fewer elements than numel claimed)
+    max_index = sum((s - 1) * st for s, st in zip(size, stride) if s > 0)
+    if any(s < 0 for s in size) or any(st < 0 for st in stride):
+        raise ValueError("negative tensor size/stride")
+    if 0 in size:
+        return np.zeros(size, dtype)
+    if max_index >= flat.size:
+        raise ValueError(
+            f"tensor metadata (size {size}, stride {stride}, offset "
+            f"{storage_offset}) reaches past its storage ({arr.size} elems)"
+        )
     strides_bytes = tuple(s * dtype.itemsize for s in stride)
     view = np.lib.stride_tricks.as_strided(flat, shape=size, strides=strides_bytes)
     return np.ascontiguousarray(view)
@@ -154,20 +171,18 @@ def load_pth(path: str) -> Any:
     if head[:2] != b"PK":
         return _load_legacy(path)
 
-    zf = zipfile.ZipFile(path)
-    names = zf.namelist()
-    pkl_names = [n for n in names if n.endswith("/data.pkl") or n == "data.pkl"]
-    if not pkl_names:
-        raise ValueError(f"{path}: no data.pkl — not a torch-zip checkpoint")
-    pkl_name = pkl_names[0]
-    prefix = pkl_name[: -len("data.pkl")]
+    with zipfile.ZipFile(path) as zf:  # closes even when unpickling raises
+        names = zf.namelist()
+        pkl_names = [n for n in names if n.endswith("/data.pkl") or n == "data.pkl"]
+        if not pkl_names:
+            raise ValueError(f"{path}: no data.pkl — not a torch-zip checkpoint")
+        pkl_name = pkl_names[0]
+        prefix = pkl_name[: -len("data.pkl")]
 
-    def read_storage(key: str, nbytes: int) -> bytes:
-        return zf.read(f"{prefix}data/{key}")[:nbytes]
+        def read_storage(key: str, nbytes: int) -> bytes:
+            return zf.read(f"{prefix}data/{key}")[:nbytes]
 
-    obj = _Unpickler(io.BytesIO(zf.read(pkl_name)), read_storage).load()
-    zf.close()
-    return obj
+        return _Unpickler(io.BytesIO(zf.read(pkl_name)), read_storage).load()
 
 
 def _load_legacy(path: str) -> Any:

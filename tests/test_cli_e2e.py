@@ -50,6 +50,12 @@ def test_train_eval_novelpose(dataset, tmp_path):
     assert os.path.exists(join(out, "metrics.jsonl"))
     ckpts = os.listdir(join(out, "net"))
     assert len(ckpts) >= 1, ckpts
+    # periodic debug dumps must fire under the multi-step dispatch default
+    # (regression: the log_iter boundary test once required exact equality,
+    # unreachable when first_iter strides by steps_per_dispatch)
+    logs = os.listdir(join(out, "log"))
+    assert any(f.endswith("_pred.png") for f in logs), logs
+    assert any(f.endswith("_gt.png") for f in logs), logs
     with open(join(out, "metrics.jsonl")) as f:
         rows = [json.loads(l) for l in f]
     assert rows and np.isfinite(rows[-1]["total"])

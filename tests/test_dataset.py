@@ -103,3 +103,21 @@ def test_novel_pose_reads_reference_shipped_asset():
     assert item["transl_data"].shape == (3,)
     assert int(item["height"]) == 1024
     assert np.isfinite(item["full_proj_transform"]).all()
+
+
+def test_drop_image_cache_skips_decode(data_root):
+    """With the GT device bank active the train loop calls drop_image_cache:
+    items must keep cameras (with the right H/W) but stop decoding frames."""
+    from gaussianavatar_tpu.data.dataset import MonoDatasetTrain
+
+    ds = MonoDatasetTrain(_mp(data_root))
+    item = ds[0]
+    assert "original_image" in item
+    h, w = int(item["height"]), int(item["width"])
+
+    ds.drop_image_cache()
+    assert not ds._frame_cache
+    item2 = ds[0]
+    assert "original_image" not in item2
+    assert int(item2["height"]) == h and int(item2["width"]) == w
+    assert "world_view_transform" in item2

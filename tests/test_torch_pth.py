@@ -97,3 +97,23 @@ def test_refuses_arbitrary_globals(tmp_path):
         zf.writestr("archive/version", "3\n")
     with pytest.raises(Exception, match="refuses|Unpickling"):
         load_pth(p)
+
+
+def test_oob_tensor_metadata_rejected():
+    """Corrupt/crafted size/stride must raise, not read out-of-bounds memory
+    (the security contract in the module docstring)."""
+    import pytest
+    from gaussianavatar_tpu.utils.torch_pth import _rebuild_tensor_v2
+
+    storage = (np.zeros(4, np.float32), np.dtype("<f4"))
+    with pytest.raises(ValueError):
+        _rebuild_tensor_v2(storage, 0, (1000000,), (1,))
+    with pytest.raises(ValueError):
+        _rebuild_tensor_v2(storage, 3, (2,), (1,))  # offset pushes past end
+    with pytest.raises(ValueError):
+        _rebuild_tensor_v2(storage, 0, (2, 2), (4, 1))  # stride escapes
+    # valid metadata still works
+    out = _rebuild_tensor_v2(storage, 0, (2, 2), (2, 1))
+    assert out.shape == (2, 2)
+    # zero-size tensors are fine
+    assert _rebuild_tensor_v2(storage, 0, (0, 3), (3, 1)).shape == (0, 3)

@@ -43,8 +43,10 @@ def main(argv=None):
 
         jax.config.update("jax_debug_nans", True)
 
-    lpips_fn = None
-    if not args.no_lpips:
+    lpips_fn, lpips_note = None, None
+    if args.no_lpips:
+        lpips_note = "disabled (--no_lpips)"
+    else:
         from gaussianavatar_tpu.ops.lpips import try_load_lpips
 
         lpips_fn = try_load_lpips(cfg.model.project_path)
@@ -58,11 +60,11 @@ def main(argv=None):
 
         with jax.profiler.trace(args.profile_dir):
             train(cfg, saving_epochs, args.checkpoint_epochs, lpips_fn=lpips_fn,
-                  max_steps=args.max_steps or 20)
+                  max_steps=args.max_steps or 20, lpips_note=lpips_note)
         print("profiler trace written to", args.profile_dir)
     else:
         train(cfg, saving_epochs, args.checkpoint_epochs, lpips_fn=lpips_fn,
-              max_steps=args.max_steps)
+              max_steps=args.max_steps, lpips_note=lpips_note)
     print("\nTraining complete.")
 
 
