@@ -117,6 +117,9 @@ def _rebuild_parameter(data, requires_grad=False, backward_hooks=None):
     return data
 
 
+# numpy >= 2 moved np.core to np._core (accessing the old name warns)
+_np_multiarray = getattr(np, "_core", getattr(np, "core", np)).multiarray
+
 _ALLOWED_GLOBALS = {
     ("torch._utils", "_rebuild_tensor_v2"): _rebuild_tensor_v2,
     ("torch._utils", "_rebuild_tensor"): _rebuild_tensor,
@@ -125,13 +128,13 @@ _ALLOWED_GLOBALS = {
     ("numpy", "ndarray"): np.ndarray,
     ("numpy", "dtype"): np.dtype,
     ("numpy.core.multiarray", "_reconstruct"): getattr(
-        np.core.multiarray, "_reconstruct", None
+        _np_multiarray, "_reconstruct", None
     ),
-    ("numpy.core.multiarray", "scalar"): getattr(np.core.multiarray, "scalar", None),
+    ("numpy.core.multiarray", "scalar"): getattr(_np_multiarray, "scalar", None),
     ("numpy._core.multiarray", "_reconstruct"): getattr(
-        np.core.multiarray, "_reconstruct", None
+        _np_multiarray, "_reconstruct", None
     ),
-    ("numpy._core.multiarray", "scalar"): getattr(np.core.multiarray, "scalar", None),
+    ("numpy._core.multiarray", "scalar"): getattr(_np_multiarray, "scalar", None),
 }
 
 
