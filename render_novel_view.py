@@ -59,10 +59,17 @@ def main(argv=None):
     )
     pelvis = np.asarray(rest.joints[0, 0])
 
-    for pose_idx in cfg.model.bullet_pose_list:
-        if pose_idx >= len(ds.pose_data):
-            print(f"skipping bullet pose {pose_idx} (only {len(ds.pose_data)} frames)")
-            continue
+    # the default bullet_pose_list (112/217/755) indexes People Snapshot
+    # frames; on shorter sequences fall back to frame 0 instead of silently
+    # rendering nothing
+    pose_list = [p for p in cfg.model.bullet_pose_list if p < len(ds.pose_data)]
+    skipped = [p for p in cfg.model.bullet_pose_list if p >= len(ds.pose_data)]
+    for p in skipped:
+        print(f"skipping bullet pose {p} (only {len(ds.pose_data)} frames)")
+    if not pose_list:
+        print("no bullet pose in range; falling back to pose 0")
+        pose_list = [0]
+    for pose_idx in pose_list:
         ds.set_fixed_pose(pose_idx, args.frames, pelvis)
         out_dir = join(cfg.model.model_path, "novel_view", f"pose_{pose_idx}")
         os.makedirs(out_dir, exist_ok=True)

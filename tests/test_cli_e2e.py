@@ -79,7 +79,9 @@ def test_train_eval_novelpose(dataset, tmp_path):
 
     import render_novel_view as rnv_cli
 
-    rnv_cli.main(["-m", out, "--frames", "3", "--bullet_pose_list", "0"])
+    # default bullet_pose_list (112/217/755) is out of range on this 6-frame
+    # dataset -> must fall back to pose 0 instead of rendering nothing
+    rnv_cli.main(["-m", out, "--frames", "3"])
     orbit = os.listdir(join(out, "novel_view", "pose_0"))
     assert sum(f.endswith(".png") for f in orbit) == 3, orbit
 
