@@ -23,6 +23,7 @@ batches, drops last, and prefetches with a decode thread pool.
 from __future__ import annotations
 
 import os
+import threading
 from os.path import join
 from typing import Dict, Iterator, List, Optional
 
@@ -120,6 +121,7 @@ class _MonoBase:
         self._cache_frames = bool(getattr(model_parms, "cache_frames", 1))
         self._cache_bytes = 0
         self._cache_budget = 4 << 30  # hard cap: stop inserting past 4 GiB
+        self._cache_lock = threading.Lock()
         # consumers that keep GT / input posmaps elsewhere (the train loop's
         # device banks) flip these off to skip the per-item decode entirely
         self.include_image = True
@@ -152,11 +154,16 @@ class _MonoBase:
 
         img, h, w = self._decode_image(name_idx)
         self._hw = (h, w)
-        if self._cache_frames and self._cache_bytes < self._cache_budget:
-            # rint, not truncation: (k/255)*255 can land at k-epsilon
+        if self._cache_frames:
+            # rint, not truncation: (k/255)*255 can land at k-epsilon.
+            # Lock: BatchLoader decodes from a thread pool, so insertion and
+            # the budget counter must not race (an unguarded += could
+            # overshoot the 4 GiB budget by several frames)
             u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
-            self._frame_cache[name_idx] = (u8, h, w)
-            self._cache_bytes += u8.nbytes
+            with self._cache_lock:
+                if name_idx not in self._frame_cache and self._cache_bytes < self._cache_budget:
+                    self._frame_cache[name_idx] = (u8, h, w)
+                    self._cache_bytes += u8.nbytes
         return img, h, w
 
     def image_hw(self):

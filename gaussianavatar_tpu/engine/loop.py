@@ -164,6 +164,10 @@ def train(
     n_frames = len(bundle.train_dataset)
     bank_mb = n_frames * 3 * H * W / 2**20
     if bool(getattr(mp, "cache_frames", 1)) and bank_mb <= 4096:
+        # decode straight into the bank: the dataset's own frame cache would
+        # hold a SECOND uint8 copy of every frame during this loop (peak host
+        # memory doubled on long sequences), and the bank replaces it anyway
+        bundle.train_dataset._cache_frames = False
         imgs = np.empty((n_frames, 3, H, W), np.uint8)
         inps = []
         for i in range(n_frames):
@@ -235,8 +239,13 @@ def train(
                 yield feed
 
         feed_iter = device_prefetch(make_feeds(), depth=2)
-        target = spd if multi_fn is not None else 1
         while True:
+            # clamp the final group so max_steps is exact (with spd > 1 a full
+            # dispatch group would overshoot by up to spd-1 optimizer steps);
+            # a partial group falls through to the single-step path below
+            target = spd if multi_fn is not None else 1
+            if max_steps is not None:
+                target = max(min(target, max_steps - first_iter), 1)
             feeds = []
             for feed in feed_iter:
                 feeds.append(feed)

@@ -77,14 +77,18 @@ def _from_struct(
     v_template = _to_np(data["v_template"]).astype(np.float32)
     shapedirs_all = _to_np(data["shapedirs"]).astype(np.float32)
     shapedirs = shapedirs_all[:, :, :num_betas]
-    # expression dirs (smplx/flame): files with the full 300-shape space store
-    # them at columns [300:]; compact files at [num_betas:]
-    # (reference body_models.py:1004-1017 SMPLX.__init__ does the same split)
+    # expression dirs (smplx/flame): files with the full 300+100 space store
+    # them at columns [300:]; compact (<400-column) files at [10:20] with at
+    # most 10 expression coefficients — regardless of num_betas
+    # (reference body_models.py:1050-1067 SMPLX.__init__ does the same split)
     expr_dirs = None
     if model_type in ("smplx", "flame") and num_expressions > 0:
-        start = 300 if shapedirs_all.shape[-1] > 300 else num_betas
+        if shapedirs_all.shape[-1] >= 400:
+            start, n_expr = 300, num_expressions
+        else:
+            start, n_expr = 10, min(num_expressions, 10)
         if shapedirs_all.shape[-1] > start:
-            expr_dirs = shapedirs_all[:, :, start : start + num_expressions]
+            expr_dirs = shapedirs_all[:, :, start : start + n_expr]
     posedirs = _to_np(data["posedirs"]).astype(np.float32)
     # official storage is (V, 3, P); flatten to (P, V*3) like smplx init
     posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T
