@@ -54,16 +54,19 @@ def lpips_gate_value(lpips_active: bool, epoch: int, opt) -> float:
     return float(lpips_active and epoch > opt.lpips_start_iter)
 
 
-def device_prefetch(feed_iter, depth: int = 2):
+def device_prefetch(feed_iter, depth: int = 2, sharding=None):
     """Device-side double buffering: `jax.device_put` batch t+1 while step t
     runs. Transfers are async, so keeping `depth` batches in flight overlaps
     the host->device copy (the tunnel's dominant per-step latency) with
-    compute instead of serializing it into each dispatch."""
+    compute instead of serializing it into each dispatch. With `sharding`
+    every array leaf is placed with it (the --dp path shards the leading
+    batch axis across the mesh)."""
     import collections
 
+    put = (lambda f: jax.device_put(f, sharding)) if sharding is not None else jax.device_put
     q = collections.deque()
     for feed in feed_iter:
-        q.append(jax.device_put(feed))
+        q.append(put(feed))
         if len(q) > depth:
             yield q.popleft()
     while q:
@@ -104,8 +107,29 @@ def train(
     lpips_fn=None,
     max_steps: Optional[int] = None,
     lpips_note: Optional[str] = None,
+    dp: int = 1,
 ) -> TrainState:
+    """`dp > 1` trains data-parallel over frames: the global batch is sharded
+    across a `dp`-device mesh (params/assets replicated, gradients psum-reduced
+    over ICI by the XLA partitioner — equivalence with the unsharded step is
+    proven in tests/test_frame_dp.py). NEW capability over the strictly
+    single-GPU reference (SURVEY.md §2.4)."""
     mp, opt = cfg.model, cfg.opt
+    mesh = feed_sharding = None
+    if dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from gaussianavatar_tpu.parallel import DATA_AXIS, make_mesh, replicate
+
+        if mp.batch_size % dp:
+            raise ValueError(
+                f"--batch_size ({mp.batch_size}) must be a multiple of --dp ({dp})"
+            )
+        mesh = make_mesh(dp)
+        feed_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+        stack_sharding = NamedSharding(mesh, PartitionSpec(None, DATA_AXIS))
+        repl_sharding = NamedSharding(mesh, PartitionSpec())
+        print(f"data-parallel: batch {mp.batch_size} sharded over {dp} devices")
     os.makedirs(join(mp.model_path, "log"), exist_ok=True)
     cfg.save(join(mp.model_path, "cfg_args.json"))
     logger = MetricsLogger(mp.model_path)
@@ -143,6 +167,8 @@ def train(
         epoch_start = checkpoint_epochs[0]
     if mp.train_stage == 2:
         state = stage_load(state, mp.stage1_out_path)
+    if mesh is not None:
+        state = replicate(state, mesh)
 
     fix_inp = None
     if mp.train_stage == 2 and mp.fixed_inp:
@@ -176,11 +202,15 @@ def train(
             if "inp_pos_map" in item:
                 pm = item["inp_pos_map"]
                 inps.append(pm.transpose(1, 2, 0) if pm.shape[0] == 3 else pm)
-        gt_bank = jax.device_put(imgs)
+        # dp: the bank is replicated; the per-shard pose_idx gather then keeps
+        # the gathered GT sharded with the batch
+        put = (lambda x: jax.device_put(x, repl_sharding)) if mesh is not None \
+            else jax.device_put
+        gt_bank = put(imgs)
         if fix_inp is not None:
-            inp_bank = jax.device_put(fix_inp[None])
+            inp_bank = put(fix_inp[None])
         elif inps:
-            inp_bank = jax.device_put(np.stack(inps))
+            inp_bank = put(np.stack(inps))
         print(f"GT bank on device: {n_frames} frames, {bank_mb:.0f} MB uint8")
         # the device bank is now the only GT consumer: stop the dataset from
         # decoding/caching frames per batch (pure host-side waste from here)
@@ -238,7 +268,7 @@ def train(
                     feed["inp_pos_map"] = feed["inp_pos_map"].transpose(0, 2, 3, 1)
                 yield feed
 
-        feed_iter = device_prefetch(make_feeds(), depth=2)
+        feed_iter = device_prefetch(make_feeds(), depth=2, sharding=feed_sharding)
         while True:
             # clamp the final group so max_steps is exact (with spd > 1 a full
             # dispatch group would overshoot by up to spd-1 optimizer steps);
@@ -255,6 +285,10 @@ def train(
                 break
             if multi_fn is not None and len(feeds) == spd:
                 stacked = {k: jnp.stack([f[k] for f in feeds]) for k in feeds[0]}
+                if mesh is not None:
+                    # pin the (S, B, ...) layout to (replicated, dp): GSPMD's
+                    # eager stack usually propagates this, but don't rely on it
+                    stacked = jax.device_put(stacked, stack_sharding)
                 state, terms_s, images = multi_fn(
                     state, stacked, jnp.float32(w_rgl), jnp.float32(pose_gate), jnp.float32(lpips_gate)
                 )

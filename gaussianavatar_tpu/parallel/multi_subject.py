@@ -36,9 +36,11 @@ def stack_subjects(trees: Sequence[Any]) -> Any:
     (python ints/str/np tables) must agree and pass through unstacked."""
 
     def stack(*leaves):
-        if isinstance(leaves[0], (jax.Array, jnp.ndarray)) or (
+        if isinstance(leaves[0], (jax.Array, jnp.ndarray, np.generic)) or (
             isinstance(leaves[0], np.ndarray) and leaves[0].dtype != object
         ):
+            # np.generic covers numpy scalars (np.int32 etc.) that checkpoint
+            # restores can produce for 0-d leaves
             return jnp.stack(leaves)
         assert all(np.all(l == leaves[0]) for l in leaves[1:]), "static leaves differ"
         return leaves[0]

@@ -27,6 +27,10 @@ def main(argv=None):
                         help="disable the LPIPS loss term even if weights are available")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of the first training steps here")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel degree: shard the batch over this many "
+                             "devices (batch_size must be a multiple; gradients are "
+                             "reduced over ICI)")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     cfg = extract_config(args)
@@ -60,11 +64,11 @@ def main(argv=None):
 
         with jax.profiler.trace(args.profile_dir):
             train(cfg, saving_epochs, args.checkpoint_epochs, lpips_fn=lpips_fn,
-                  max_steps=args.max_steps or 20, lpips_note=lpips_note)
+                  max_steps=args.max_steps or 20, lpips_note=lpips_note, dp=args.dp)
         print("profiler trace written to", args.profile_dir)
     else:
         train(cfg, saving_epochs, args.checkpoint_epochs, lpips_fn=lpips_fn,
-              max_steps=args.max_steps, lpips_note=lpips_note)
+              max_steps=args.max_steps, lpips_note=lpips_note, dp=args.dp)
     print("\nTraining complete.")
 
 
