@@ -49,7 +49,7 @@ def main(argv=None):
     test_ds = MonoDatasetTest(cfg.model)
     item0 = test_ds[0]
     H, W = int(item0["height"]), int(item0["width"])
-    render = make_renderer(inf, H, W)
+    render = make_renderer(inf, H, W, with_overflow=True)
     fix_inp = load_fixed_inp(cfg)
     lpips_fn = try_load_lpips(cfg.model.project_path)
 
@@ -61,6 +61,7 @@ def main(argv=None):
     # last frame; padded outputs are discarded) — one compiled program total
     EVAL_B = 4
     psnrs, ssims, lpipss = [], [], []
+    total_overflow = 0
     n = len(test_ds)
     for start in range(0, n, EVAL_B):
         idxs = list(range(start, min(start + EVAL_B, n)))
@@ -68,8 +69,9 @@ def main(argv=None):
         items = [test_ds[i] for i in idxs + pad]
         singles = [batch_from_item(it, fix_inp) for it in items]
         batch = {k: np.concatenate([s[k] for s in singles]) for k in singles[0]}
-        imgs = np.asarray(render(inf.state.params, inf.state.batch_stats, batch))
-        imgs = np.clip(imgs, 0.0, 1.0)
+        imgs, overflow = render(inf.state.params, inf.state.batch_stats, batch)
+        imgs = np.clip(np.asarray(imgs), 0.0, 1.0)
+        total_overflow += int(overflow)
 
         for j, i in enumerate(idxs):
             img = imgs[j : j + 1]
@@ -94,6 +96,10 @@ def main(argv=None):
     else:
         # make the skipped metric visible instead of silently omitting it
         lines.append(f"lpips: {lpips_status(cfg.model.project_path)}")
+    # truncation is never silent: gaussian-tile pairs beyond the capacity
+    # cascade across the whole split (0 = these numbers are truncation-free;
+    # the CUDA reference is uncapped, gaussian_renderer/__init__.py:40-48)
+    lines.append(f"raster_overflow: {total_overflow}")
     report = "\n".join(lines)
     with open(join(out_dir, "results.txt"), "w") as f:
         f.write(report + "\n")

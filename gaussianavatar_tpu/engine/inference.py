@@ -50,10 +50,14 @@ def load_trained(cfg: Config, epoch: Optional[int] = None) -> InferenceBundle:
     return InferenceBundle(cfg=cfg, bundle=bundle, state=state, epoch=epoch)
 
 
-def make_renderer(inf: InferenceBundle, height: int, width: int):
+def make_renderer(inf: InferenceBundle, height: int, width: int,
+                  with_overflow: bool = False):
     """Returns render(params, batch_stats, batch, iteration=...). Stage-1
     models render from a precomputed canonical-gaussian cache (the decoder is
-    pose-independent); stage 2 runs the full decode per frame."""
+    pose-independent); stage 2 runs the full decode per frame.
+    `with_overflow=True` makes the renderer return (image, overflow) —
+    eval.py records it so quality numbers always say whether the capacity
+    cascade truncated anything."""
     cfg, bundle = inf.cfg, inf.bundle
     bg = (1.0, 1.0, 1.0) if cfg.model.white_background else (0.0, 0.0, 0.0)
     if cfg.model.train_stage == 1:
@@ -62,7 +66,7 @@ def make_renderer(inf: InferenceBundle, height: int, width: int):
         )
         cached = make_cached_render_fn(
             bundle.net, bundle.body_model, bundle.assets,
-            height, width, bg, raster_config(cfg),
+            height, width, bg, raster_config(cfg), with_overflow=with_overflow,
         )
 
         def render(params, batch_stats, batch, *a, **kw):
@@ -71,7 +75,7 @@ def make_renderer(inf: InferenceBundle, height: int, width: int):
         return render
     return make_render_fn(
         bundle.net, bundle.body_model, bundle.assets,
-        height, width, bg, raster_config(cfg),
+        height, width, bg, raster_config(cfg), with_overflow=with_overflow,
     )
 
 

@@ -259,10 +259,13 @@ def make_render_fn(
     W: int,
     bg_color,
     raster_cfg: RasterizeConfig,
+    with_overflow: bool = False,
 ):
     """Jitted inference render (render_free_stage1/2 equivalent,
     avatar_model.py:467-649): poses come either from the batch
-    ('pose_data'/'transl_data') or the trained embeddings."""
+    ('pose_data'/'transl_data') or the trained embeddings.
+    `with_overflow=True` returns (image, overflow) so quality reports can
+    state whether capacity truncation touched the rendered pixels."""
     render_views = make_render_views(H, W, bg_color, raster_cfg)
 
     @jax.jit
@@ -271,11 +274,12 @@ def make_render_fn(
         world, shs, scales3, rotations, opacity, _, _ = _forward_gaussians(
             net, variables, body_model, assets, batch, iteration, False, False
         )
-        return render_views(
+        out = render_views(
             world, shs, scales3, rotations, opacity,
             batch["world_view_transform"], batch["full_proj_transform"],
             batch["tan_fovx"], batch["tan_fovy"],
-        )[0]
+        )
+        return out if with_overflow else out[0]
 
     return render
 
@@ -316,6 +320,7 @@ def make_cached_render_fn(
     W: int,
     bg_color,
     raster_cfg: RasterizeConfig,
+    with_overflow: bool = False,
 ):
     """Stage-1 novel-pose renderer over a precomputed canonical cache:
     per frame only LBS -> skinning -> splatting runs (~2x the full-decode
@@ -341,11 +346,12 @@ def make_cached_render_fn(
             assets, jnp.broadcast_to(scales_w, (B,) + scales.shape), shs
         )
         shs_b = jnp.broadcast_to(shs[None], (B,) + shs.shape)
-        return render_views(
+        out = render_views(
             world, shs_b, scales3, rotations, opacity,
             batch["world_view_transform"], batch["full_proj_transform"],
             batch["tan_fovx"], batch["tan_fovy"],
-        )[0]
+        )
+        return out if with_overflow else out[0]
 
     return render
 

@@ -46,15 +46,54 @@ def read_psnr(model_path):
     )
 
 
+def average_checkpoints(model_path, epochs, out_epoch):
+    """Write the parameter/batch-stat mean of several checkpoints as a new
+    iteration_{out_epoch} checkpoint (SWA endpoint). Optimizer state and the
+    iteration counter are taken from the newest checkpoint (they are not
+    averaged quantities)."""
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    from gaussianavatar_tpu.engine import checkpoint as ckpt
+
+    raws = []
+    for e in epochs:
+        with open(join(ckpt.ckpt_dir(model_path, e), ckpt.CKPT_NAME), "rb") as f:
+            raws.append(serialization.msgpack_restore(f.read()))
+    avg = raws[-1]
+    n = float(len(raws))
+    for key in ("params", "batch_stats"):
+        if key in avg and avg[key]:
+            avg[key] = jax.tree.map(
+                lambda *xs: (sum(np.asarray(x, np.float64) for x in xs) / n).astype(
+                    np.asarray(xs[-1]).dtype
+                ),
+                *[r[key] for r in raws],
+            )
+    d = ckpt.ckpt_dir(model_path, out_epoch)
+    os.makedirs(d, exist_ok=True)
+    with open(join(d, ckpt.CKPT_NAME), "wb") as f:
+        f.write(serialization.msgpack_serialize(avg))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", default="/tmp/quality_gate")
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--image_size", type=int, default=512)
     ap.add_argument("--query", type=int, default=256)
+    ap.add_argument("--inp", type=int, default=64,
+                    help="inp_posmap_size; the canonical workload is "
+                         "--query 512 --inp 128 (config.py defaults), the "
+                         "fast gate 256/64")
     ap.add_argument("--n_train", type=int, default=48)
     ap.add_argument("--n_test", type=int, default=8)
     ap.add_argument("--gate_psnr", type=float, default=25.0)
+    ap.add_argument("--gate_avg_psnr", type=float, default=28.0,
+                    help="gate for the averaged (last-K checkpoints) endpoint "
+                         "— tighter than the single-save gate because "
+                         "averaging shrinks the ±1 dB endpoint chaos")
     ap.add_argument("--stage2", action="store_true")
     ap.add_argument("--pose_opt", action="store_true")
     args = ap.parse_args()
@@ -74,11 +113,16 @@ def main():
             body_kwargs={"n_rings": 48, "n_cols": 32},
         )
 
+    # no --no_lpips: train.py auto-activates the 0.2*LPIPS term when weights
+    # exist under assets/lpips (reference train.py:26,89-91); on this box no
+    # weights are available, so runs here train without it — but a
+    # weights-equipped environment immediately produces the reference-
+    # objective campaign with zero code changes
     common = [
         "-s", data, "--dataset_type", "synthetic",
         "--query_posmap_size", str(args.query),
-        "--inp_posmap_size", "64",
-        "--batch_size", "2", "--no_lpips",
+        "--inp_posmap_size", str(args.inp),
+        "--batch_size", "2",
     ]
     def saved_epochs(model_path):
         net_dir = join(model_path, "net")
@@ -89,7 +133,10 @@ def main():
             if d.startswith("iteration_")
         )
 
-    save_every = max(args.epochs // 4, 1)
+    # save every eighth so the trajectory tail leaves >= 3 closely-spaced
+    # checkpoints for the averaged endpoint below; the curve only EVALUATES
+    # the quarter points (evals cost minutes each)
+    save_every = max(args.epochs // 8, 1)
     # resumable: a stage whose final checkpoint already exists is not re-run,
     # so an interrupted campaign (or adding --stage2/--pose_opt later) picks
     # up where it left off
@@ -99,13 +146,14 @@ def main():
             "--save_epochs", str(save_every - 1), "--log_iter", "1200"])
 
     epochs = saved_epochs(out1)
+    curve_epochs = sorted({e for e in epochs if (e // save_every) % 2 == 0} | {epochs[-1]})
     # per-epoch eval cache: a rerun (resume, or adding --stage2/--pose_opt)
     # must not pay ~10 min of eval recompiles per curve point again
     curve_path = join(work, "curve.json")
     curve_cache = {}
     if os.path.exists(curve_path):
         curve_cache = {c["epoch"]: c for c in json.load(open(curve_path))}
-    for e in epochs:
+    for e in curve_epochs:
         if e not in curve_cache:
             sh(["eval.py", "-m", out1, "--epoch", str(e)])
             p, s = read_psnr(out1)
@@ -120,6 +168,35 @@ def main():
     summary["gates"]["stage1_psnr"] = {
         "value": final_psnr, "gate": args.gate_psnr, "pass": final_psnr >= args.gate_psnr
     }
+
+    # --- Averaged (SWA-style) endpoint: mean of the last K checkpoints.
+    # The single-checkpoint endpoint carries ~±1 dB trajectory chaos (the LR
+    # has fully decayed by late training — see OptimizationParams.sched_unit —
+    # so late saves random-walk a flat basin; their average is a lower-noise
+    # basin center). The averaged number is the headline; its gate can sit
+    # tighter than the single-save gate.
+    K_AVG = 3
+    avg_epoch = epochs[-1] + 1  # stored as one more iteration_ dir
+    avg_path = join(work, "avg_eval.json")
+    if len(epochs) >= 2:
+        if os.path.exists(avg_path):
+            avg = json.load(open(avg_path))
+        else:
+            tail = epochs[-min(K_AVG, len(epochs)):]
+            average_checkpoints(out1, tail, avg_epoch)
+            sh(["eval.py", "-m", out1, "--epoch", str(avg_epoch)])
+            p, s = read_psnr(out1)
+            avg = {"epochs": tail, "psnr": p, "ssim": s}
+            with open(avg_path, "w") as f:
+                json.dump(avg, f)
+        print(f"[avg] mean of {avg['epochs']}: PSNR {avg['psnr']:.2f} "
+              f"SSIM {avg['ssim']:.4f}", flush=True)
+        summary["gates"]["stage1_avg_psnr"] = {
+            "value": avg["psnr"], "epochs": avg["epochs"],
+            "gate": args.gate_avg_psnr,
+            "pass": avg["psnr"] >= args.gate_avg_psnr,
+        }
+        final_psnr = max(final_psnr, avg["psnr"])
 
     if args.stage2:
         out2 = join(work, "stage2")
