@@ -77,8 +77,15 @@ def main():
     state = init_state(net, assets, _TX0(), batch_size=B)
 
     # two-tier capacity cascade (see config.RasterParams): 128 everywhere +
-    # 768 extra depth ranks on the 25% busiest tiles
+    # 768 extra depth ranks on the 25% busiest tiles. Rendering uses the fast
+    # profile the render CLIs default to (M=4 footprint + unstable sort,
+    # 0.007 dB from a 4096-deep render on a trained avatar — BASELINE.md
+    # trained-avatar fidelity); training keeps M=9 + stable sort.
     raster_cfg = RasterizeConfig(
+        tile_size=32, tile_capacity=128, max_tiles_per_gaussian=4,
+        tile_capacity_hi=768, heavy_fraction=0.25, sort_stable=False,
+    )
+    train_raster_cfg = RasterizeConfig(
         tile_size=32, tile_capacity=128, max_tiles_per_gaussian=9,
         tile_capacity_hi=768, heavy_fraction=0.25,
     )
@@ -166,7 +173,7 @@ def main():
     tx = build_optimizer(state_t.params, opt, steps_per_epoch=NF // Bt, train_stage=1)
     state_t = state_t.replace(opt_state=tx.init(state_t.params))
     step = make_train_step(
-        net, model, assets, tx, opt, H, W, (1.0, 1.0, 1.0), raster_cfg, train_stage=1
+        net, model, assets, tx, opt, H, W, (1.0, 1.0, 1.0), train_raster_cfg, train_stage=1
     )
     gt = jnp.zeros((Bt, 3, H, W), jnp.float32) + 0.5
 

@@ -144,6 +144,17 @@ class RasterParams:
     # busy tiles matters; see BASELINE.md). Defaults equal the render tier.
     train_tile_capacity_hi: int = 768
     train_heavy_fraction: float = 0.25
+    # binning-sort stability (1 = ties blend in gaussian-index order, CUDA
+    # radix parity; 0 = ~35% faster unstable sort, deterministic-but-
+    # arbitrary tie order). Training keeps 1; render/eval flip to 0 via
+    # render_sort_stable after the trained-avatar fidelity probe measured
+    # the fast profile bit-comparable to the deep render (BASELINE.md).
+    sort_stable: int = 1
+    render_sort_stable: int = 0
+    # render-side gaussian footprint cap (0 = same as max_tiles_per_gaussian).
+    # Trained-avatar gaussians are ~1cm: spans beyond 2x2 tiles are rare, so
+    # the render path halves the binning sort with M=4 (179 vs 130 FPS).
+    render_max_tiles_per_gaussian: int = 4
 
 
 def _add_group(parser: ArgumentParser, cls, name: str, shorthands: dict):

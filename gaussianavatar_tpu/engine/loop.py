@@ -88,15 +88,18 @@ def raster_config(cfg: Config, train: bool = False) -> RasterizeConfig:
     (see RasterParams.train_tile_capacity_hi); eval/render keep the
     fidelity-tuned cascade."""
     r = cfg.raster
+    render_M = int(getattr(r, "render_max_tiles_per_gaussian", 0)) or r.max_tiles_per_gaussian
     return RasterizeConfig(
         tile_size=r.tile_size,
         tile_capacity=r.tile_capacity,
-        max_tiles_per_gaussian=r.max_tiles_per_gaussian,
+        max_tiles_per_gaussian=r.max_tiles_per_gaussian if train else render_M,
         backend=r.backend,
         tile_capacity_hi=getattr(r, "train_tile_capacity_hi", r.tile_capacity_hi)
         if train else r.tile_capacity_hi,
         heavy_fraction=getattr(r, "train_heavy_fraction", r.heavy_fraction)
         if train else r.heavy_fraction,
+        sort_stable=bool(getattr(r, "sort_stable", 1)) if train
+        else bool(getattr(r, "render_sort_stable", 1)),
     )
 
 

@@ -41,6 +41,12 @@ class RasterizeConfig(NamedTuple):
     # bf16 accumulation was measured and REJECTED for the default (see
     # BASELINE.md round-2 bf16 experiment); the knob remains for study.
     blend_acc_dtype: str = "float32"
+    # binning sort stability. True: equal (tile, depth-quantile) keys blend
+    # in gaussian-index order (CUDA 64-bit-radix parity). False: ~35% faster
+    # sort (measured v5e, 4.1M keys: 5.8 vs 9.2 ms); ties blend in a
+    # deterministic-but-arbitrary order fixed by the sort network. Only
+    # near-coincident surfaces are affected — use for inference/render.
+    sort_stable: bool = True
 
 
 def rasterize(

@@ -88,6 +88,7 @@ def _bin_gaussians(
     ts: int,
     MW: int,
     MH: int,
+    stable: bool = True,
 ) -> BinContext:
     """Bin a whole batch with ONE flat key sort.
 
@@ -140,26 +141,44 @@ def _bin_gaussians(
         32 - depth_bits,
     )  # top depth_bits of the positive float pattern (monotone)
 
+    # Slot-major (M, B, N) layout: every intermediate keeps N (large) as the
+    # minor dim, which tiles cleanly onto (8, 128) vregs. The naive (B, N, M)
+    # layout puts M=9 in the lane dim and XLA pads it to 128 — ~14x wasted
+    # bandwidth; measured ~6.6 ms of the ~7 ms binning cost at B=4 @512².
+    # The sort consumes a flat array, so element order is free — but tie-break
+    # order is not: the old layout + stable sort broke equal (tile, depth)
+    # keys by gaussian index (CUDA radix-sort parity). A lexicographic 2-key
+    # sort over (key, row) reproduces that exactly in any layout.
     slots = jnp.arange(M, dtype=jnp.int32)
-    sx = slots % MW
-    sy = slots // MW
-    tile_x = x0[..., None] + sx  # (B, N, M)
-    tile_y = y0[..., None] + sy
-    slot_valid = v[..., None] & (sx < spanx[..., None]) & (sy < spany[..., None])
-    img_off = (jnp.arange(B, dtype=jnp.int32) * T)[:, None, None]
+    sx = (slots % MW)[:, None, None]   # (M, 1, 1)
+    sy = (slots // MW)[:, None, None]
+    tile_x = x0[None] + sx             # (M, B, N)
+    tile_y = y0[None] + sy
+    slot_valid = v[None] & (sx < spanx[None]) & (sy < spany[None])
+    img_off = (jnp.arange(B, dtype=jnp.int32) * T)[None, :, None]
     tile_id = img_off + tile_y * txn + tile_x  # global tile in [0, B*T)
 
     keys = jnp.where(
         slot_valid,
-        jax.lax.shift_left(tile_id, depth_bits) | depth_key[..., None],
+        jax.lax.shift_left(tile_id, depth_bits) | depth_key[None],
         jnp.int32(2**31 - 1),
     )
     rows = jnp.broadcast_to(
-        (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
-        + jnp.arange(N, dtype=jnp.int32)[None, :, None],
-        (B, N, M),
+        (jnp.arange(B, dtype=jnp.int32) * N)[None, :, None]
+        + jnp.arange(N, dtype=jnp.int32)[None, None, :],
+        (M, B, N),
     )  # flat index into (B*N)
-    sorted_keys, sorted_vals = jax.lax.sort_key_val(keys.reshape(-1), rows.reshape(-1))
+    if stable:
+        sorted_keys, sorted_vals = jax.lax.sort(
+            (keys.reshape(-1), rows.reshape(-1)), num_keys=2
+        )
+    else:
+        # single-key unstable sort: ~35% faster (no index tie-break chains
+        # through the compare network); equal keys land in the deterministic
+        # order the sort network produces, not gaussian-index order
+        sorted_keys, sorted_vals = jax.lax.sort_key_val(
+            keys.reshape(-1), rows.reshape(-1), is_stable=False
+        )
 
     boundaries = jax.lax.shift_left(jnp.arange(B * T + 1, dtype=jnp.int32), depth_bits)
     offsets = jnp.searchsorted(sorted_keys, boundaries, side="left").astype(jnp.int32)
@@ -528,7 +547,10 @@ def rasterize_views_binned(
     n_tiles = txn * tyn
     G = B * n_tiles
 
-    ctx = _bin_gaussians(projs, colors, opacities, height, width, ts, MW, MH)
+    ctx = _bin_gaussians(
+        projs, colors, opacities, height, width, ts, MW, MH,
+        stable=bool(getattr(config, "sort_stable", True)),
+    )
     all_tiles = jnp.arange(G, dtype=jnp.int32)
     params, counts = _gather_tile_params(ctx, all_tiles, 0, K)
     tileids = all_tiles % n_tiles

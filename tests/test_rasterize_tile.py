@@ -253,3 +253,18 @@ def test_nonmultiple_image_size():
     )
     ref = rasterize_brute(proj, colors, opac, bg, h, w)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-5)
+
+
+def test_unstable_sort_matches_stable_and_brute():
+    """sort_stable=False must produce the same image whenever (tile, depth)
+    keys are unique — random scenes have distinct depths, so the unstable
+    render path (the render-CLI default, config.RasterParams
+    .render_sort_stable) stays brute-exact."""
+    cam, arrays = make_scene(seed=7)
+    arrays = tuple(arrays)
+    img_stable = _render(cam, arrays, CFG_XLA)
+    img_unstable = _render(cam, arrays, CFG_XLA._replace(sort_stable=False))
+    np.testing.assert_allclose(np.asarray(img_unstable), np.asarray(img_stable), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(img_unstable), np.asarray(_render_brute(cam, arrays)), atol=2e-5
+    )
