@@ -49,8 +49,14 @@ def main(argv=None):
     test_ds = MonoDatasetTest(cfg.model)
     item0 = test_ds[0]
     H, W = int(item0["height"]), int(item0["width"])
-    render = make_renderer(inf, H, W, with_overflow=True)
     fix_inp = load_fixed_inp(cfg)
+    override = None
+    if getattr(cfg.raster, "auto_cascade", 0):
+        from gaussianavatar_tpu.engine.inference import autotune_raster
+
+        override = autotune_raster(inf, H, W, batch_from_item(item0, fix_inp))
+        print(f"auto_cascade tiers: {override.tiers}")
+    render = make_renderer(inf, H, W, with_overflow=True, raster_override=override)
     lpips_fn = try_load_lpips(cfg.model.project_path)
 
     out_dir = join(cfg.model.model_path, "test_free")

@@ -155,6 +155,10 @@ class RasterParams:
     # Trained-avatar gaussians are ~1cm: spans beyond 2x2 tiles are rare, so
     # the render path halves the binning sort with M=4 (179 vs 130 FPS).
     render_max_tiles_per_gaussian: int = 4
+    # 1 = derive the capacity cascade from the scene's own per-tile load
+    # histogram at CLI startup (ops/cascade.tune_tiers) instead of the
+    # hand-swept tile_capacity/_hi defaults — eval/render CLIs only
+    auto_cascade: int = 0
 
 
 def _add_group(parser: ArgumentParser, cls, name: str, shorthands: dict):

@@ -51,14 +51,16 @@ def load_trained(cfg: Config, epoch: Optional[int] = None) -> InferenceBundle:
 
 
 def make_renderer(inf: InferenceBundle, height: int, width: int,
-                  with_overflow: bool = False):
+                  with_overflow: bool = False, raster_override=None):
     """Returns render(params, batch_stats, batch, iteration=...). Stage-1
     models render from a precomputed canonical-gaussian cache (the decoder is
     pose-independent); stage 2 runs the full decode per frame.
     `with_overflow=True` makes the renderer return (image, overflow) —
     eval.py records it so quality numbers always say whether the capacity
-    cascade truncated anything."""
+    cascade truncated anything. `raster_override` replaces the config-derived
+    RasterizeConfig (the auto-tuned cascade path)."""
     cfg, bundle = inf.cfg, inf.bundle
+    rcfg = raster_override if raster_override is not None else raster_config(cfg)
     bg = (1.0, 1.0, 1.0) if cfg.model.white_background else (0.0, 0.0, 0.0)
     if cfg.model.train_stage == 1:
         cache = precompute_canonical(
@@ -66,7 +68,7 @@ def make_renderer(inf: InferenceBundle, height: int, width: int,
         )
         cached = make_cached_render_fn(
             bundle.net, bundle.body_model, bundle.assets,
-            height, width, bg, raster_config(cfg), with_overflow=with_overflow,
+            height, width, bg, rcfg, with_overflow=with_overflow,
         )
 
         def render(params, batch_stats, batch, *a, **kw):
@@ -75,8 +77,54 @@ def make_renderer(inf: InferenceBundle, height: int, width: int,
         return render
     return make_render_fn(
         bundle.net, bundle.body_model, bundle.assets,
-        height, width, bg, raster_config(cfg), with_overflow=with_overflow,
+        height, width, bg, rcfg, with_overflow=with_overflow,
     )
+
+
+def autotune_raster(inf: InferenceBundle, height: int, width: int, batch):
+    """One-shot cascade auto-tune (RasterParams.auto_cascade): run the
+    binning on a probe batch, read the true per-tile load histogram, and
+    derive the capacity tiers from it (ops/cascade.tune_tiers) instead of
+    the hand-swept defaults. Returns the RasterizeConfig to pass as
+    `make_renderer(..., raster_override=...)`."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianavatar_tpu.ops.cascade import tune_tiers
+    from gaussianavatar_tpu.ops.projection import project_gaussians
+    from gaussianavatar_tpu.ops.rasterize_tile import _bin_gaussians, _cdiv
+    from gaussianavatar_tpu.engine.train_step import _forward_gaussians
+
+    cfg, bundle = inf.cfg, inf.bundle
+    rcfg = raster_config(cfg)
+    ts = rcfg.tile_size
+    MW = int(np.sqrt(rcfg.max_tiles_per_gaussian))
+
+    @jax.jit
+    def counts(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        world, shs, scales3, rotations, opacity, _, _ = _forward_gaussians(
+            bundle.net, variables, bundle.body_model, bundle.assets, batch,
+            jnp.int32(10_000_000), False, False,
+        )
+        B, N = world.shape[:2]
+        if rotations.ndim == 2:
+            rotations = jnp.broadcast_to(rotations[None], (B,) + rotations.shape)
+        opac = opacity.reshape(-1, N)
+        if opac.shape[0] == 1:
+            opac = jnp.broadcast_to(opac, (B, N))
+        projs = jax.vmap(
+            lambda m, s, r, wvt, fpt, tx, ty: project_gaussians(
+                m, s, r, wvt, fpt, tx, ty, height, width
+            )
+        )(world, scales3, rotations, batch["world_view_transform"],
+          batch["full_proj_transform"], batch["tan_fovx"], batch["tan_fovy"])
+        ctx = _bin_gaussians(projs, shs, opac, height, width, ts, MW, MW)
+        return ctx.full_counts
+
+    full_counts = np.asarray(counts(inf.state.params, inf.state.batch_stats, batch))
+    tiers = tune_tiers(full_counts)
+    return rcfg._replace(tiers=tiers)
 
 
 def load_fixed_inp(cfg: Config):

@@ -43,8 +43,16 @@ def main(argv=None):
 
     inf = load_trained(cfg, args.epoch)
     ds = MonoDatasetNovelPose(cfg.model, height=args.image_size, width=args.image_size)
-    render = make_renderer(inf, args.image_size, args.image_size)
     fix_inp = load_fixed_inp(cfg)
+    override = None
+    if getattr(cfg.raster, "auto_cascade", 0):
+        from gaussianavatar_tpu.engine.inference import autotune_raster
+
+        override = autotune_raster(inf, args.image_size, args.image_size,
+                                   batch_from_item(ds[0], fix_inp))
+        print(f"auto_cascade tiers: {override.tiers}")
+    render = make_renderer(inf, args.image_size, args.image_size,
+                           raster_override=override)
 
     out_dir = join(cfg.model.model_path, "novel_pose")
     os.makedirs(out_dir, exist_ok=True)
