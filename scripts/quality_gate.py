@@ -91,11 +91,16 @@ def main():
     ap.add_argument("--n_test", type=int, default=8)
     ap.add_argument("--gate_psnr", type=float, default=25.0)
     ap.add_argument("--gate_avg_psnr", type=float, default=28.0,
-                    help="gate for the averaged (last-K checkpoints) endpoint "
-                         "— tighter than the single-save gate because "
-                         "averaging shrinks the ±1 dB endpoint chaos")
+                    help="gate for the MEAN eval PSNR over the last-K saved "
+                         "checkpoints — tighter than the single-save gate "
+                         "because averaging K evals shrinks the ±1 dB "
+                         "endpoint chaos ~sqrt(K)")
     ap.add_argument("--stage2", action="store_true")
     ap.add_argument("--pose_opt", action="store_true")
+    ap.add_argument("--train_flag", action="append", default=[],
+                    help="extra train.py flag, repeatable, 'name=value' or "
+                         "bare 'name' — e.g. --train_flag sort_stable=0 for "
+                         "the unstable-binning-sort quality experiment")
     args = ap.parse_args()
 
     work = args.work
@@ -124,19 +129,28 @@ def main():
         "--inp_posmap_size", str(args.inp),
         "--batch_size", "2",
     ]
-    def saved_epochs(model_path):
-        net_dir = join(model_path, "net")
-        if not os.path.isdir(net_dir):
-            return []
-        return sorted(
-            int(d.split("_")[1]) for d in os.listdir(net_dir)
-            if d.startswith("iteration_")
-        )
-
+    for flag in args.train_flag:
+        name, _, value = flag.partition("=")
+        common.append("--" + name.lstrip("-"))
+        if value:
+            common.append(value)
     # save every eighth so the trajectory tail leaves >= 3 closely-spaced
     # checkpoints for the averaged endpoint below; the curve only EVALUATES
     # the quarter points (evals cost minutes each)
     save_every = max(args.epochs // 8, 1)
+
+    def saved_epochs(model_path):
+        net_dir = join(model_path, "net")
+        if not os.path.isdir(net_dir):
+            return []
+        # only TRAINING saves (save_epoch multiples + the guaranteed final
+        # save) — the SWA averaged checkpoint is stored as iteration_{N+1}
+        # and must not re-enter the epoch list on a resumed run
+        found = sorted(
+            int(d.split("_")[1]) for d in os.listdir(net_dir)
+            if d.startswith("iteration_")
+        )
+        return [e for e in found if e % save_every == 0 or e == args.epochs]
     # resumable: a stage whose final checkpoint already exists is not re-run,
     # so an interrupted campaign (or adding --stage2/--pose_opt later) picks
     # up where it left off
@@ -169,33 +183,52 @@ def main():
         "value": final_psnr, "gate": args.gate_psnr, "pass": final_psnr >= args.gate_psnr
     }
 
-    # --- Averaged (SWA-style) endpoint: mean of the last K checkpoints.
-    # The single-checkpoint endpoint carries ~±1 dB trajectory chaos (the LR
-    # has fully decayed by late training — see OptimizationParams.sched_unit —
-    # so late saves random-walk a flat basin; their average is a lower-noise
-    # basin center). The averaged number is the headline; its gate can sit
-    # tighter than the single-save gate.
+    # --- De-noised endpoint: METRIC mean over the last K saved checkpoints.
+    # The single-checkpoint endpoint carries ~±1 dB trajectory chaos
+    # (ulp-level gradient changes compound over 4800 steps); the mean of K
+    # late evals estimates the typical endpoint with ~sqrt(K) less spread,
+    # so its gate sits tighter than the single-save gate. This is the gated
+    # number.
     K_AVG = 3
+    tail = epochs[-min(K_AVG, len(epochs)):]
+    for e in tail:
+        if e not in curve_cache:
+            sh(["eval.py", "-m", out1, "--epoch", str(e)])
+            p, s = read_psnr(out1)
+            curve_cache[e] = {"epoch": e, "psnr": p, "ssim": s}
+            with open(curve_path, "w") as f:
+                json.dump([curve_cache[k] for k in sorted(curve_cache)], f)
+    tail_psnrs = [curve_cache[e]["psnr"] for e in tail]
+    tail_mean = sum(tail_psnrs) / len(tail_psnrs)
+    print(f"[tail] mean PSNR over {tail}: {tail_mean:.2f} "
+          f"(spread {max(tail_psnrs) - min(tail_psnrs):.2f} dB)", flush=True)
+    summary["gates"]["stage1_tail_mean_psnr"] = {
+        "value": tail_mean, "epochs": tail, "psnrs": tail_psnrs,
+        "gate": args.gate_avg_psnr,
+        "pass": tail_mean >= args.gate_avg_psnr,
+    }
+
+    # --- Parameter-averaged (SWA-style) endpoint: recorded as a measured
+    # experiment, NOT gated. Measured both ways: at the 256-query fast gate
+    # the late saves share a basin and averaging helps; at the canonical
+    # 512-query workload the mean of [150,175,200] evaluated 2.5 dB BELOW
+    # the endpoint (24.65 vs 27.17) — late checkpoints live in different
+    # basins there and parameter means fall between them.
     avg_epoch = epochs[-1] + 1  # stored as one more iteration_ dir
     avg_path = join(work, "avg_eval.json")
     if len(epochs) >= 2:
         if os.path.exists(avg_path):
             avg = json.load(open(avg_path))
         else:
-            tail = epochs[-min(K_AVG, len(epochs)):]
             average_checkpoints(out1, tail, avg_epoch)
             sh(["eval.py", "-m", out1, "--epoch", str(avg_epoch)])
             p, s = read_psnr(out1)
             avg = {"epochs": tail, "psnr": p, "ssim": s}
             with open(avg_path, "w") as f:
                 json.dump(avg, f)
-        print(f"[avg] mean of {avg['epochs']}: PSNR {avg['psnr']:.2f} "
+        print(f"[swa] parameter mean of {avg['epochs']}: PSNR {avg['psnr']:.2f} "
               f"SSIM {avg['ssim']:.4f}", flush=True)
-        summary["gates"]["stage1_avg_psnr"] = {
-            "value": avg["psnr"], "epochs": avg["epochs"],
-            "gate": args.gate_avg_psnr,
-            "pass": avg["psnr"] >= args.gate_avg_psnr,
-        }
+        summary["swa_experiment"] = avg
         final_psnr = max(final_psnr, avg["psnr"])
 
     if args.stage2:
@@ -204,7 +237,7 @@ def main():
         if not saved_epochs(out2):
             sh(["scripts/export_stage_1.py", "-m", out1, "-s", data])
             sh(["scripts/gen_pose_map_frames.py", "--source_path", data,
-                "--synthetic", "--size", "64"])
+                "--synthetic", "--size", str(args.inp)])
             sh(["train.py", "-m", out2, *common, "--train_stage", "2",
                 "--stage1_out_path", join(out1, "net", f"iteration_{epochs[-1]}"),
                 "--epochs", str(ep2),
