@@ -159,6 +159,10 @@ class RasterParams:
     # histogram at CLI startup (ops/cascade.tune_tiers) instead of the
     # hand-swept tile_capacity/_hi defaults — eval/render CLIs only
     auto_cascade: int = 0
+    # 1 = gather per-tile parameter slabs as dense 16-element slices from the
+    # flat view of the packed table (1/8 the HBM bytes of the lane-padded
+    # row gather; see rasterize_tile._gather_tile_params)
+    gather_flat: int = 0
 
 
 def _add_group(parser: ArgumentParser, cls, name: str, shorthands: dict):

@@ -47,6 +47,11 @@ class RasterizeConfig(NamedTuple):
     # deterministic-but-arbitrary order fixed by the sort network. Only
     # near-coincident surfaces are affected — use for inference/render.
     sort_stable: bool = True
+    # gather the per-tile parameter slabs as 16-element contiguous slices
+    # from the dense 1-D view of the packed table instead of lane-padded
+    # (B*N, 16) rows — same values/VJP, 1/8 the HBM bytes per row (see
+    # rasterize_tile._gather_tile_params)
+    gather_flat: bool = False
 
 
 def rasterize(

@@ -97,6 +97,13 @@ def main():
                          "endpoint chaos ~sqrt(K)")
     ap.add_argument("--stage2", action="store_true")
     ap.add_argument("--pose_opt", action="store_true")
+    ap.add_argument("--pose_lr", type=float, default=2e-2,
+                    help="probe embed LR — must put the frozen-net refinement "
+                         "in its convergent regime at the campaign's "
+                         "resolution (2e-2 converges at the 256 fast gate; "
+                         "the sharper 512 landscape needs a gentler step)")
+    ap.add_argument("--pose_epochs", type=int, default=40)
+    ap.add_argument("--pose_noise", type=float, default=0.3)
     ap.add_argument("--train_flag", action="append", default=[],
                     help="extra train.py flag, repeatable, 'name=value' or "
                          "bare 'name' — e.g. --train_flag sort_stable=0 for "
@@ -283,9 +290,9 @@ def main():
         cfg = Config.load(join(out1, "cfg_args.json"))
         cfg.opt.lr_net = 0.0
         cfg.opt.lr_geomfeat = 0.0
-        # 4x the reference's 5e-3 embed LR: each frame is visited once per
-        # epoch, and the probe budget is ~40 epochs, not 200
-        cfg.opt.lr_pose = 2e-2
+        # default 4x the reference's 5e-3 embed LR: each frame is visited
+        # once per epoch, and the probe budget is ~40 epochs, not 200
+        cfg.opt.lr_pose = args.pose_lr
         bundle = setup_avatar(cfg, train=True)
         probe = bundle.train_dataset[0]
         H, W = int(probe["height"]), int(probe["width"])
@@ -305,7 +312,8 @@ def main():
 
         true_pose = np.asarray(state.params["pose_embedding"])
         rng = np.random.default_rng(0)
-        noise = rng.normal(scale=0.3, size=true_pose.shape).astype(np.float32)
+        noise = rng.normal(scale=args.pose_noise,
+                           size=true_pose.shape).astype(np.float32)
         noise[:, :3] = 0  # keep global orientation
         state = state.replace(
             params=dict(state.params, pose_embedding=jnp.asarray(true_pose + noise))
@@ -321,7 +329,7 @@ def main():
         one = jnp.float32(1.0)
         n_steps = 0
         epoch_losses = []
-        for ep_i in range(40):
+        for ep_i in range(args.pose_epochs):
             loader = BatchLoader(bundle.train_dataset, bs, shuffle=True, seed=ep_i)
             tot = 0.0
             for batch in loader:

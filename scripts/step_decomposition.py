@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--rounds", type=int, default=25)
     ap.add_argument("--stable", type=int, default=None,
                     help="override sort stability (default: grad->1, fwd->0)")
+    ap.add_argument("--gather_flat", type=int, default=0,
+                    help="1 = gather param slabs as dense 16-elem slices from "
+                         "the flat packed table (gather_flat config knob)")
     args = ap.parse_args()
 
     import jax
@@ -165,8 +168,9 @@ def main():
             ph = jnp.broadcast_to(ctx.packed[:Kh][None], (S, Kh, 16)) + s
             ch = jnp.full((S,), Kh, jnp.int32)
         else:
-            pb, cb = rt._gather_tile_params(ctx, all_tiles, 0, Kb)
-            ph, ch = rt._gather_tile_params(ctx, hv, Kb, Kh)
+            fl = bool(args.gather_flat)
+            pb, cb = rt._gather_tile_params(ctx, all_tiles, 0, Kb, flat=fl)
+            ph, ch = rt._gather_tile_params(ctx, hv, Kb, Kh, flat=fl)
         if skip == "blend":
             color_t = jnp.mean(pb, axis=(1, 2))[:, None, None, None] \
                 + jnp.zeros((G, 3, pxr, 128))
@@ -210,7 +214,7 @@ def main():
 
     mode = "fwd+bwd" if args.grad else "fwd"
     print(f"\n[{mode} B={B} @{H}^2, tiers {Kb}+{Kh}@{frac}, "
-          f"M={M}, stable={stable}]")
+          f"M={M}, stable={stable}, gather_flat={args.gather_flat}]")
     full = results["full"]
     print(f"full: {full:.2f} ms")
     for name in variants[1:]:

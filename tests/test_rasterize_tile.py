@@ -268,3 +268,24 @@ def test_unstable_sort_matches_stable_and_brute():
     np.testing.assert_allclose(
         np.asarray(img_unstable), np.asarray(_render_brute(cam, arrays)), atol=2e-5
     )
+
+
+def test_flat_gather_bit_exact_fwd_and_grad():
+    """gather_flat=True reads the same packed rows as the lane-padded row
+    gather (only the HBM access pattern differs) — image AND gradients must
+    be bit-identical, including through the capacity cascade."""
+    cam, arrays = make_scene(seed=3)
+    means, scales, q, opac, colors, bg = tuple(arrays)
+    cfg = CFG_XLA._replace(tile_capacity=32, tile_capacity_hi=32)
+
+    def f(op, flat):
+        img = rasterize(means, colors, scales, q, op, cam, bg,
+                        config=cfg._replace(gather_flat=flat))
+        w = jnp.cos(jnp.arange(img.size, dtype=jnp.float32).reshape(img.shape))
+        return jnp.sum(img * w), img
+
+    (_, img0), g0 = jax.value_and_grad(f, has_aux=True)(opac, False)
+    (_, img1), g1 = jax.value_and_grad(f, has_aux=True)(opac, True)
+    assert float(jnp.abs(g0).sum()) > 0
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
