@@ -160,8 +160,9 @@ class RasterParams:
     # hand-swept tile_capacity/_hi defaults — eval/render CLIs only
     auto_cascade: int = 0
     # 1 = gather per-tile parameter slabs as dense 16-element slices from the
-    # flat view of the packed table (1/8 the HBM bytes of the lane-padded
-    # row gather; see rasterize_tile._gather_tile_params)
+    # flat view of the packed table. 1/8 the HBM bytes of the lane-padded row
+    # gather but measured 17x SLOWER (XLA TPU serializes that gather form) —
+    # keep 0; knob retained as the measured record (BASELINE.md round 3)
     gather_flat: int = 0
 
 

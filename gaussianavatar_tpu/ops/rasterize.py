@@ -49,8 +49,9 @@ class RasterizeConfig(NamedTuple):
     sort_stable: bool = True
     # gather the per-tile parameter slabs as 16-element contiguous slices
     # from the dense 1-D view of the packed table instead of lane-padded
-    # (B*N, 16) rows — same values/VJP, 1/8 the HBM bytes per row (see
-    # rasterize_tile._gather_tile_params)
+    # (B*N, 16) rows. Bit-exact, 1/8 the HBM bytes — and REJECTED as a
+    # default: measured 17x slower (XLA TPU serializes the 1-D sliced
+    # gather; see rasterize_tile._gather_tile_params / BASELINE.md)
     gather_flat: bool = False
 
 

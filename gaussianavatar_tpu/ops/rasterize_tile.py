@@ -225,13 +225,16 @@ def _gather_tile_params(
     (S, K, 16) + counts (S,). Rows past a tile's true count are zeroed
     (valid channel 0), so they are free in the blend.
 
-    flat=False: plain row gather `packed[ids]` from the (B*N, 16) table. XLA
-    lays that table out lane-tiled in HBM (minor dim 16 padded to 128), so
-    every 64-byte row read drags 512 bytes across the bus — 8x waste.
-    flat=True: gather 16-element contiguous slices from the dense 1-D view
-    of the same table (`lax.gather` slice_sizes=(16,)), which reads exactly
-    the bytes it needs. Same values, same VJP (scatter-add); only the HBM
-    access pattern differs."""
+    flat=False (default): plain row gather `packed[ids]` from the (B*N, 16)
+    table. XLA lays that table out lane-tiled in HBM (minor dim 16 padded to
+    128), so every 64-byte row read drags 512 bytes across the bus.
+    flat=True gathers 16-element contiguous slices from the dense 1-D view
+    instead (`lax.gather` slice_sizes=(16,)) — bit-identical values and VJP,
+    1/8 the bytes — but was measured 17x SLOWER end to end (fwd+bwd raster
+    pipeline 519 vs 30.6 ms, B=2 @512², v5e): TPU XLA lowers the 1-D sliced
+    gather to a serial row-at-a-time path, while the padded row gather hits
+    the vectorized fast path. Kept as the measured record + for future
+    XLA generations (see BASELINE.md round-3 gather experiments)."""
     ids, counts = _gather_tile_ids(ctx, tile_sel, k0, K)
     S = ids.shape[0]
     in_range = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]

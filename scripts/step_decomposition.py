@@ -42,6 +42,15 @@ def main():
     ap.add_argument("--gather_flat", type=int, default=0,
                     help="1 = gather param slabs as dense 16-elem slices from "
                          "the flat packed table (gather_flat config knob)")
+    ap.add_argument("--only", default=None,
+                    help="time just this variant (e.g. 'full') — for A/B "
+                         "runs that don't need the whole ablation table")
+    ap.add_argument("--scatter_nop", action="store_true",
+                    help="TIMING-ONLY (wrong gradients): replace the gather's "
+                         "backward scatter-add into the packed table with a "
+                         "shape-compatible broadcast that still consumes the "
+                         "incoming grads — isolates the scatter's cost inside "
+                         "the fwd+bwd pipeline")
     args = ap.parse_args()
 
     import jax
@@ -169,8 +178,33 @@ def main():
             ch = jnp.full((S,), Kh, jnp.int32)
         else:
             fl = bool(args.gather_flat)
-            pb, cb = rt._gather_tile_params(ctx, all_tiles, 0, Kb, flat=fl)
-            ph, ch = rt._gather_tile_params(ctx, hv, Kb, Kh, flat=fl)
+            if args.scatter_nop:
+                def make_gat(sel, k0, K):
+                    @jax.custom_vjp
+                    def gat(packed):
+                        c = rt.BinContext(ctx.offsets, ctx.sorted_vals, packed,
+                                          ctx.full_counts, ctx.m_dropped)
+                        return rt._gather_tile_params(c, sel, k0, K)
+
+                    def gat_fwd(packed):
+                        return gat(packed), packed.shape
+
+                    def gat_bwd(shape, cot):
+                        g, _ = cot
+                        # consumes every grad element, produces the right
+                        # shape, NO scatter — grads are WRONG (timing only)
+                        fake = jnp.broadcast_to(
+                            jnp.mean(g, axis=(0, 1))[None], shape) * 1e-6
+                        return (fake,)
+
+                    gat.defvjp(gat_fwd, gat_bwd)
+                    return gat
+
+                pb, cb = make_gat(all_tiles, 0, Kb)(ctx.packed)
+                ph, ch = make_gat(hv, Kb, Kh)(ctx.packed)
+            else:
+                pb, cb = rt._gather_tile_params(ctx, all_tiles, 0, Kb, flat=fl)
+                ph, ch = rt._gather_tile_params(ctx, hv, Kb, Kh, flat=fl)
         if skip == "blend":
             color_t = jnp.mean(pb, axis=(1, 2))[:, None, None, None] \
                 + jnp.zeros((G, 3, pxr, 128))
@@ -193,6 +227,8 @@ def main():
         return jnp.sum(img * (1.0 + wimg)) + jnp.sum(Ti)
 
     variants = ["full", "front", "bin", "gather", "blend"]
+    if args.only:
+        variants = [v for v in variants if v == args.only]
     results = {}
     for name in variants:
         skip = None if name == "full" else name
@@ -215,10 +251,12 @@ def main():
     mode = "fwd+bwd" if args.grad else "fwd"
     print(f"\n[{mode} B={B} @{H}^2, tiers {Kb}+{Kh}@{frac}, "
           f"M={M}, stable={stable}, gather_flat={args.gather_flat}]")
-    full = results["full"]
-    print(f"full: {full:.2f} ms")
-    for name in variants[1:]:
-        print(f"{name}: {results[name]:.2f} ms -> piece ~{full - results[name]:.2f} ms")
+    full = results.get("full")
+    for name, ms in results.items():
+        if name == "full" or full is None:
+            print(f"{name}: {ms:.2f} ms")
+        else:
+            print(f"{name}: {ms:.2f} ms -> piece ~{full - ms:.2f} ms")
 
 
 if __name__ == "__main__":
