@@ -81,22 +81,19 @@ def make_renderer(inf: InferenceBundle, height: int, width: int,
     )
 
 
-def autotune_raster(inf: InferenceBundle, height: int, width: int, batch):
-    """One-shot cascade auto-tune (RasterParams.auto_cascade): run the
-    binning on a probe batch, read the true per-tile load histogram, and
-    derive the capacity tiers from it (ops/cascade.tune_tiers) instead of
-    the hand-swept defaults. Returns the RasterizeConfig to pass as
-    `make_renderer(..., raster_override=...)`."""
+def make_counts_fn(bundle: AvatarBundle, height: int, width: int, rcfg):
+    """Jitted probe: decode the avatar on a batch, run the binning, return
+    the TRUE per-tile load histogram (BinContext.full_counts) — the input
+    the cascade auto-tuner (ops/cascade.tune_tiers) works from. `rcfg`
+    supplies tile_size and max_tiles_per_gaussian, so the probe sees the
+    same pair enumeration the real render/train step will."""
     import jax
     import jax.numpy as jnp
 
-    from gaussianavatar_tpu.ops.cascade import tune_tiers
     from gaussianavatar_tpu.ops.projection import project_gaussians
-    from gaussianavatar_tpu.ops.rasterize_tile import _bin_gaussians, _cdiv
+    from gaussianavatar_tpu.ops.rasterize_tile import _bin_gaussians
     from gaussianavatar_tpu.engine.train_step import _forward_gaussians
 
-    cfg, bundle = inf.cfg, inf.bundle
-    rcfg = raster_config(cfg)
     ts = rcfg.tile_size
     MW = int(np.sqrt(rcfg.max_tiles_per_gaussian))
 
@@ -122,6 +119,19 @@ def autotune_raster(inf: InferenceBundle, height: int, width: int, batch):
         ctx = _bin_gaussians(projs, shs, opac, height, width, ts, MW, MW)
         return ctx.full_counts
 
+    return counts
+
+
+def autotune_raster(inf: InferenceBundle, height: int, width: int, batch):
+    """One-shot cascade auto-tune (RasterParams.auto_cascade): run the
+    binning on a probe batch, read the true per-tile load histogram, and
+    derive the capacity tiers from it (ops/cascade.tune_tiers) instead of
+    the hand-swept defaults. Returns the RasterizeConfig to pass as
+    `make_renderer(..., raster_override=...)`."""
+    from gaussianavatar_tpu.ops.cascade import tune_tiers
+
+    rcfg = raster_config(inf.cfg)
+    counts = make_counts_fn(inf.bundle, height, width, rcfg)
     full_counts = np.asarray(counts(inf.state.params, inf.state.batch_stats, batch))
     tiers = tune_tiers(full_counts)
     return rcfg._replace(tiers=tiers)

@@ -185,6 +185,51 @@ def train(
         fix_inp = np.load(path)["posmap" + str(mp.inp_posmap_size)].astype(np.float32)
         print(f"fixed_inp: using static posmap {path}")
 
+    # --- Train-side cascade auto-tune (RasterParams.auto_cascade). The
+    # hand-swept default cascade was tuned at the 256-query workload; at
+    # other resolutions it can silently truncate a large share of
+    # gaussian-tile pairs EVERY STEP (measured at 512-query: ~1M of ~4.7M
+    # pairs dropped, and the converged PSNR fell 4-5 dB below the 256
+    # campaign). Probe the scene's true per-tile load histogram and derive
+    # the tiers from it (ops/cascade.tune_tiers); for a fresh stage-1 run
+    # the init-state histogram is not yet representative (scales adapt
+    # during warm-up), so re-tune once after the first epoch and rebuild
+    # the compiled step if the tiers moved.
+    rcfg_train = raster_config(cfg, train=True)
+    probe_feed = None
+    retune_epoch = None
+    if getattr(cfg.raster, "auto_cascade", 0):
+        from gaussianavatar_tpu.engine.inference import make_counts_fn
+        from gaussianavatar_tpu.ops.cascade import tune_tiers
+
+        counts_fn = make_counts_fn(bundle, H, W, rcfg_train)
+        pb = next(iter(BatchLoader(bundle.train_dataset, mp.batch_size,
+                                   shuffle=False)))
+        probe_feed = {
+            k: v for k, v in pb.items()
+            if k not in ("FovX", "FovY", "height", "width",
+                         "projection_matrix", "camera_center",
+                         "original_image")
+        }
+        if fix_inp is not None:
+            probe_feed["inp_pos_map"] = np.broadcast_to(
+                fix_inp[None], (mp.batch_size,) + fix_inp.shape)
+        elif "inp_pos_map" in probe_feed and probe_feed["inp_pos_map"].shape[1] == 3:
+            probe_feed["inp_pos_map"] = probe_feed["inp_pos_map"].transpose(0, 2, 3, 1)
+
+        def tune_now(st):
+            fc = np.asarray(counts_fn(st.params, st.batch_stats, probe_feed))
+            return tune_tiers(fc)
+
+        tiers = tune_now(state)
+        rcfg_train = rcfg_train._replace(tiers=tiers)
+        logger.log_event("auto_cascade", str(tiers))
+        print(f"auto_cascade (train): tiers {tiers}")
+        # fresh stage-1 starts from the init scene; anything that loaded a
+        # trained state (resume / stage-2) probed a representative one
+        if mp.train_stage == 1 and not checkpoint_epochs:
+            retune_epoch = epoch_start + 1
+
     # Device-resident GT bank: upload every frame ONCE (uint8, lossless for
     # 8-bit PNG sources), gather by pose_idx inside the jitted step. The
     # per-step host->device payload drops from the full image batch to a few
@@ -230,19 +275,24 @@ def train(
         aiap_nn = jnp.asarray(host_knn(pts, k=5))
         print(f"AIAP regularizer on: {pts.shape[0]} points, k=5")
 
-    step_fn = make_train_step(
-        bundle.net, bundle.body_model, bundle.assets, tx, opt,
-        H, W, bg, raster_config(cfg, train=True), train_stage=mp.train_stage,
-        lpips_fn=lpips_fn, aiap_nn=aiap_nn, gt_bank=gt_bank, inp_bank=inp_bank,
-    )
     spd = max(int(getattr(opt, "steps_per_dispatch", 1)), 1)
-    multi_fn = None
-    if spd > 1:
-        multi_fn = make_train_step_scan(
+
+    def build_steps(rcfg):
+        sf = make_train_step(
             bundle.net, bundle.body_model, bundle.assets, tx, opt,
-            H, W, bg, raster_config(cfg, train=True), train_stage=mp.train_stage,
+            H, W, bg, rcfg, train_stage=mp.train_stage,
             lpips_fn=lpips_fn, aiap_nn=aiap_nn, gt_bank=gt_bank, inp_bank=inp_bank,
         )
+        mf = None
+        if spd > 1:
+            mf = make_train_step_scan(
+                bundle.net, bundle.body_model, bundle.assets, tx, opt,
+                H, W, bg, rcfg, train_stage=mp.train_stage,
+                lpips_fn=lpips_fn, aiap_nn=aiap_nn, gt_bank=gt_bank, inp_bank=inp_bank,
+            )
+        return sf, mf
+
+    step_fn, multi_fn = build_steps(rcfg_train)
 
     debug_points = make_debug_points_fn(bundle.net, bundle.body_model, bundle.assets)
 
@@ -338,6 +388,20 @@ def train(
             if max_steps is not None and first_iter >= max_steps:
                 done = True
                 break
+
+        if retune_epoch is not None and epoch == retune_epoch and not done:
+            # one-shot re-tune on the now warmed-up scene: scales shrank from
+            # their init during epoch 1, so the init-derived tiers usually
+            # over-provision; one recompile here buys the right capacities
+            # for the remaining ~199 epochs (the persistent XLA cache makes
+            # reruns free)
+            new_tiers = tune_now(state)
+            if new_tiers != rcfg_train.tiers:
+                rcfg_train = rcfg_train._replace(tiers=new_tiers)
+                logger.log_event("auto_cascade_retuned", str(new_tiers))
+                print(f"auto_cascade (train, epoch-{epoch} retune): {new_tiers}")
+                step_fn, multi_fn = build_steps(rcfg_train)
+            retune_epoch = None
 
         if (epoch > saving_epochs[0]) and epoch % mp.save_epoch == 0:
             print(f"[Epoch {epoch}] saving model")

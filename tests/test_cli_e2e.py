@@ -101,3 +101,34 @@ def test_train_resume(dataset, tmp_path):
          "--epochs", "2", "--save_epochs", "0", "--checkpoint_epochs", "1", "--no_lpips"]
     )
     assert os.path.exists(join(out, "net", "iteration_2"))
+
+
+def test_train_auto_cascade(dataset, tmp_path):
+    """--auto_cascade 1 derives the train-side capacity tiers from the
+    scene's own tile-load histogram (ops/cascade.tune_tiers), re-tunes once
+    after the warm-up epoch, and eval honors the same flag. Guards the
+    512-query regression where the 256-swept fixed cascade silently dropped
+    ~20% of gaussian-tile pairs per training step."""
+    import train as train_cli
+
+    out = str(tmp_path / "out_ac")
+    train_cli.main(
+        ["-s", dataset, "-m", out, *SMALL_ARGS,
+         "--epochs", "2", "--save_epochs", "1", "--auto_cascade", "1",
+         "--no_lpips"]
+    )
+    with open(join(out, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    events = {r["event"]: r["value"] for r in rows if "event" in r}
+    assert "auto_cascade" in events, events
+    tiers = eval(events["auto_cascade"])  # "((K, 1.0), ...)" literal
+    assert tiers and tiers[0][1] == 1.0 and tiers[0][0] % 8 == 0, tiers
+    # epoch-1 retune ran (tiers may or may not move on this tiny scene, but
+    # when they do the event is logged; either way training completed)
+    assert np.isfinite([r for r in rows if "total" in r][-1]["total"])
+
+    import eval as eval_cli
+
+    eval_cli.main(["-m", out, "--auto_cascade", "1"])
+    results = open(join(out, "test_free", "results.txt")).read()
+    assert "psnr:" in results
