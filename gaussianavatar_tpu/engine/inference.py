@@ -81,17 +81,24 @@ def make_renderer(inf: InferenceBundle, height: int, width: int,
     )
 
 
-def make_counts_fn(bundle: AvatarBundle, height: int, width: int, rcfg):
-    """Jitted probe: decode the avatar on a batch, run the binning, return
-    the TRUE per-tile load histogram (BinContext.full_counts) — the input
-    the cascade auto-tuner (ops/cascade.tune_tiers) works from. `rcfg`
-    supplies tile_size and max_tiles_per_gaussian, so the probe sees the
-    same pair enumeration the real render/train step will."""
+def make_counts_fn(bundle: AvatarBundle, height: int, width: int, rcfg,
+                   probe_capacity: int = 0):
+    """Jitted cascade-tuner probe: decode the avatar on a batch, run the
+    binning, and return per-tile load histograms. With `probe_capacity=0`
+    returns only the TRUE per-tile counts (BinContext.full_counts); with
+    `probe_capacity>0` runs the saturation probe (one deep blend pass,
+    rasterize_tile.probe_tile_depths) and returns (counts, NEEDED depths)
+    — the depth at which CUDA-parity early termination stopped consuming
+    gaussians, the histogram the tuner should size TRAIN/EVAL capacities
+    from. `rcfg` supplies tile_size and max_tiles_per_gaussian, so the
+    probe sees the same pair enumeration the real render/train step will."""
     import jax
     import jax.numpy as jnp
 
     from gaussianavatar_tpu.ops.projection import project_gaussians
-    from gaussianavatar_tpu.ops.rasterize_tile import _bin_gaussians
+    from gaussianavatar_tpu.ops.rasterize_tile import (
+        _bin_gaussians, probe_tile_depths,
+    )
     from gaussianavatar_tpu.engine.train_step import _forward_gaussians
 
     ts = rcfg.tile_size
@@ -116,24 +123,37 @@ def make_counts_fn(bundle: AvatarBundle, height: int, width: int, rcfg):
             )
         )(world, scales3, rotations, batch["world_view_transform"],
           batch["full_proj_transform"], batch["tan_fovx"], batch["tan_fovy"])
+        if probe_capacity > 0:
+            return probe_tile_depths(projs, shs, opac, height, width, rcfg,
+                                     probe_capacity)
         ctx = _bin_gaussians(projs, shs, opac, height, width, ts, MW, MW)
         return ctx.full_counts
 
     return counts
 
 
+# deep-pass capacity of the saturation probe: bounds both the probe's own
+# cost and the largest tier the tuner can hand back
+PROBE_CAPACITY = 4096
+
+
 def autotune_raster(inf: InferenceBundle, height: int, width: int, batch):
     """One-shot cascade auto-tune (RasterParams.auto_cascade): run the
-    binning on a probe batch, read the true per-tile load histogram, and
-    derive the capacity tiers from it (ops/cascade.tune_tiers) instead of
-    the hand-swept defaults. Returns the RasterizeConfig to pass as
+    saturation probe on a batch, read the per-tile NEEDED-depth histogram
+    (where CUDA-parity early termination actually stops), and derive the
+    capacity tiers from it (ops/cascade.tune_tiers) instead of the
+    hand-swept defaults. Returns the RasterizeConfig to pass as
     `make_renderer(..., raster_override=...)`."""
     from gaussianavatar_tpu.ops.cascade import tune_tiers
 
     rcfg = raster_config(inf.cfg)
-    counts = make_counts_fn(inf.bundle, height, width, rcfg)
-    full_counts = np.asarray(counts(inf.state.params, inf.state.batch_stats, batch))
-    tiers = tune_tiers(full_counts)
+    counts = make_counts_fn(inf.bundle, height, width, rcfg,
+                            probe_capacity=PROBE_CAPACITY)
+    _, needed = counts(inf.state.params, inf.state.batch_stats, batch)
+    # 1.25x margin: the probe batch is a handful of frames; unseen poses
+    # shift tile loads a little (overflow stays reported regardless)
+    tiers = tune_tiers(np.asarray(needed), margin=1.25,
+                       max_capacity=PROBE_CAPACITY)
     return rcfg._replace(tiers=tiers)
 
 

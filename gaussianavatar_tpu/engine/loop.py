@@ -188,21 +188,28 @@ def train(
     # --- Train-side cascade auto-tune (RasterParams.auto_cascade). The
     # hand-swept default cascade was tuned at the 256-query workload; at
     # other resolutions it can silently truncate a large share of
-    # gaussian-tile pairs EVERY STEP (measured at 512-query: ~1M of ~4.7M
-    # pairs dropped, and the converged PSNR fell 4-5 dB below the 256
-    # campaign). Probe the scene's true per-tile load histogram and derive
-    # the tiers from it (ops/cascade.tune_tiers); for a fresh stage-1 run
-    # the init-state histogram is not yet representative (scales adapt
-    # during warm-up), so re-tune once after the first epoch and rebuild
-    # the compiled step if the tiers moved.
+    # gaussian-tile pairs EVERY STEP (measured at 512-query: the converged
+    # scene holds ~550k pairs/image with busy tiles 5-14k deep; the fixed
+    # 128+768@.25 covers ~11%). Capacities are sized from the SATURATION
+    # probe (per-tile depth where CUDA-parity early termination stops,
+    # engine/inference.make_counts_fn) rather than raw counts: on a trained
+    # avatar most binned pairs sit behind saturated transmittance, so the
+    # needed depth is far cheaper than full coverage while giving exactly
+    # the pairs (fwd AND bwd) the uncapped CUDA rasterizer would touch.
+    # Opacity — hence saturation — evolves during training, so re-tune at
+    # every save_epoch boundary and rebuild the compiled step when the
+    # tiers move (capacities/fractions are quantized in tune_tiers to keep
+    # most retunes program-identical).
     rcfg_train = raster_config(cfg, train=True)
-    probe_feed = None
-    retune_epoch = None
+    tune_now = None
     if getattr(cfg.raster, "auto_cascade", 0):
-        from gaussianavatar_tpu.engine.inference import make_counts_fn
+        from gaussianavatar_tpu.engine.inference import (
+            PROBE_CAPACITY, make_counts_fn,
+        )
         from gaussianavatar_tpu.ops.cascade import tune_tiers
 
-        counts_fn = make_counts_fn(bundle, H, W, rcfg_train)
+        counts_fn = make_counts_fn(bundle, H, W, rcfg_train,
+                                   probe_capacity=PROBE_CAPACITY)
         pb = next(iter(BatchLoader(bundle.train_dataset, mp.batch_size,
                                    shuffle=False)))
         probe_feed = {
@@ -218,17 +225,16 @@ def train(
             probe_feed["inp_pos_map"] = probe_feed["inp_pos_map"].transpose(0, 2, 3, 1)
 
         def tune_now(st):
-            fc = np.asarray(counts_fn(st.params, st.batch_stats, probe_feed))
-            return tune_tiers(fc)
+            _, needed = counts_fn(st.params, st.batch_stats, probe_feed)
+            # 1.5x margin at train time: the scene keeps evolving between
+            # retunes and gradients flow only through blended ranks
+            return tune_tiers(np.asarray(needed), margin=1.5,
+                              max_capacity=PROBE_CAPACITY)
 
         tiers = tune_now(state)
         rcfg_train = rcfg_train._replace(tiers=tiers)
         logger.log_event("auto_cascade", str(tiers))
         print(f"auto_cascade (train): tiers {tiers}")
-        # fresh stage-1 starts from the init scene; anything that loaded a
-        # trained state (resume / stage-2) probed a representative one
-        if mp.train_stage == 1 and not checkpoint_epochs:
-            retune_epoch = epoch_start + 1
 
     # Device-resident GT bank: upload every frame ONCE (uint8, lossless for
     # 8-bit PNG sources), gather by pose_idx inside the jitted step. The
@@ -389,19 +395,20 @@ def train(
                 done = True
                 break
 
-        if retune_epoch is not None and epoch == retune_epoch and not done:
-            # one-shot re-tune on the now warmed-up scene: scales shrank from
-            # their init during epoch 1, so the init-derived tiers usually
-            # over-provision; one recompile here buys the right capacities
-            # for the remaining ~199 epochs (the persistent XLA cache makes
-            # reruns free)
+        if tune_now is not None and not done and (
+            epoch == epoch_start + 1 or epoch % mp.save_epoch == 0
+        ):
+            # re-tune after the warm-up epoch and at every save boundary:
+            # opacities (hence saturation depths) evolve during training.
+            # Only a tier CHANGE costs a recompile — tune_tiers quantizes
+            # capacities/fractions so consecutive retunes usually agree,
+            # and the persistent XLA cache makes repeats across runs free.
             new_tiers = tune_now(state)
             if new_tiers != rcfg_train.tiers:
                 rcfg_train = rcfg_train._replace(tiers=new_tiers)
                 logger.log_event("auto_cascade_retuned", str(new_tiers))
                 print(f"auto_cascade (train, epoch-{epoch} retune): {new_tiers}")
                 step_fn, multi_fn = build_steps(rcfg_train)
-            retune_epoch = None
 
         if (epoch > saving_epochs[0]) and epoch % mp.save_epoch == 0:
             print(f"[Epoch {epoch}] saving model")

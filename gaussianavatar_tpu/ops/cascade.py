@@ -39,62 +39,107 @@ def _up8(x: float) -> int:
     return max(_CHUNK, int(math.ceil(x / _CHUNK)) * _CHUNK)
 
 
+def _quantize_cap(x: float, max_capacity: int) -> int:
+    """Capacities snap to multiples of 8 (the Pallas unroll) below 128 and
+    multiples of 128 above — coarse steps keep the tuned tiers (and hence
+    the compiled program shapes) stable across periodic retunes."""
+    k = _up8(min(x, max_capacity))
+    if k > 128:
+        k = min(int(math.ceil(k / 128)) * 128, max_capacity // 8 * 8)
+    return k
+
+
+def _build_cascade(c, K0, target, max_capacity, max_tiers, s_quant):
+    """Greedy nested completion on top of base capacity K0. `c` is the
+    per-tile histogram sorted DESCENDING; tiers apply to prefixes of that
+    rank order — exactly how the rasterizer assigns them (top_k by binned
+    count, nested)."""
+    G = c.size
+    tiers = [(K0, 1.0)]
+    cap = np.full(G, K0, np.int64)
+    covered = int(np.minimum(c, cap).sum())
+    S_prev = G
+    while len(tiers) < max_tiers and covered < target:
+        resid = c - cap
+        nz = np.nonzero(resid > 0)[0]
+        if nz.size == 0:
+            break
+        S = int(nz[-1]) + 1  # prefix length covering every still-short tile
+        S = min(max(_CHUNK, int(math.ceil(S / s_quant)) * s_quant), S_prev, G)
+        resid_S = np.maximum(resid[:S], 0)
+        missing = target - covered
+        # smallest quantized K whose prefix gain reaches the target (the
+        # quantized grid is tiny: 8..128 by 8, then 256..cap by 128)
+        kmax = _quantize_cap(float(resid_S.max()), max_capacity)
+        K = kmax
+        grid = list(range(_CHUNK, min(128, kmax) + 1, _CHUNK))
+        grid += list(range(256, kmax + 1, 128))
+        for k in grid:
+            if int(np.minimum(resid_S, k).sum()) >= missing:
+                K = k
+                break
+        gain = int(np.minimum(resid_S, K).sum())
+        if gain <= 0:
+            break
+        tiers.append((K, S / G))
+        cap[:S] += K
+        covered += gain
+        S_prev = S
+    return tuple(tiers), covered
+
+
 def tune_tiers(
     full_counts,
-    base_quantile: float = 0.75,
+    base_quantile: float | None = None,
     coverage: float = 0.999,
-    max_capacity: int = 1024,
-    max_tiers: int = 3,
+    max_capacity: int = 4096,
+    max_tiers: int = 4,
+    margin: float = 1.0,
 ) -> Tuple[Tuple[int, float], ...]:
-    """Pick a nested capacity cascade ((K0, 1.0), (K1, f1)[, (K2, f2)]) from
-    per-tile true gaussian counts (any shape; flattened).
+    """Pick a nested capacity cascade ((K0, 1.0), (K1, f1), ...) from a
+    per-tile depth histogram (any shape; flattened) — either true gaussian
+    counts or, better, the NEEDED depths from a saturation probe
+    (rasterize_tile.probe_tile_depths).
 
-    `coverage` is the target fraction of gaussian-tile pairs blended;
-    tiers stop early once reached (or when `max_tiers`/`max_capacity` cap
-    out — truncation is still never silent: the render reports overflow).
+    `coverage` is the target fraction of gaussian-tile pairs blended.
+    `base_quantile=None` (default) searches several candidate base
+    capacities and returns the cheapest cascade (by cascade_cost) reaching
+    the target — important for bimodal scenes (body avatars: ~half the
+    tiles empty, the rest thousands deep) where any fixed base quantile is
+    far off the frontier. Pass an explicit quantile to pin the base tier.
+    `margin` scales the histogram up front (headroom for scene drift
+    between periodic retunes). Truncation is never silent either way: the
+    render reports overflow.
     """
     counts = np.asarray(full_counts).reshape(-1).astype(np.int64)
     G = counts.size
     total = int(counts.sum())
     if G == 0 or total == 0:
         return ((_CHUNK, 1.0),)
+    if margin != 1.0:
+        counts = np.ceil(counts * margin).astype(np.int64)
+        total = int(counts.sum())
 
-    # base tier: the base_quantile tile blends everything it owns
-    K0 = _up8(min(float(np.quantile(counts, base_quantile)), max_capacity))
-    tiers = [(K0, 1.0)]
-    covered = int(np.minimum(counts, K0).sum())
-    residual = counts - K0
+    c = np.sort(counts)[::-1]
+    target = int(math.ceil(coverage * total))
+    s_quant = max(_CHUNK, G // 16)  # fraction steps of ~1/16 (program reuse)
 
-    while len(tiers) < max_tiers and covered < coverage * total:
-        heavy = residual > 0
-        n_heavy = int(heavy.sum())
-        if n_heavy == 0:
-            break
-        frac = n_heavy / G
-        # fraction must nest inside the previous tier and stay meaningful:
-        # the Pallas grid floor is _CHUNK tiles
-        frac = min(frac, tiers[-1][1])
-        frac = max(frac, _CHUNK / G)
-        res_heavy = residual[heavy]
-        # capacity at the residual needed to hit the coverage target within
-        # this tier: the q-quantile of heavy residuals where q solves for
-        # the remaining uncovered mass
-        missing = coverage * total - covered
-        q = min(1.0, missing / max(int(res_heavy.sum()), 1))
-        cap = float(np.quantile(res_heavy, min(0.99, max(q, 0.5))))
-        K = _up8(min(cap, max_capacity))
-        tiers.append((K, frac))
-        # apply: the frac·G busiest tiles get K more ranks
-        S = max(int(round(frac * G)), 1)
-        top = np.argpartition(residual, -S)[-S:]
-        gain = np.minimum(residual[top], K)
-        covered += int(gain.sum())
-        residual = residual.copy()
-        residual[top] -= gain
-        if K >= max_capacity:
-            break
-
-    return tuple(tiers)
+    if base_quantile is not None:
+        cands = [float(np.quantile(counts, base_quantile))]
+    else:
+        cands = [float(_CHUNK)] + [
+            float(np.quantile(counts, q)) for q in (0.5, 0.75, 0.9)
+        ]
+    best = None
+    for k0 in {_quantize_cap(k, max_capacity) for k in cands}:
+        tiers, covered = _build_cascade(c, k0, target, max_capacity,
+                                        max_tiers, s_quant)
+        feasible = covered >= target
+        key = (not feasible, cascade_cost(tiers) if feasible else -covered,
+               len(tiers))
+        if best is None or key < best[0]:
+            best = (key, tiers)
+    return best[1]
 
 
 def cascade_cost(tiers: Sequence[Tuple[int, float]]) -> float:

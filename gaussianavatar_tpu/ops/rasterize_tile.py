@@ -643,6 +643,60 @@ def rasterize_views_binned(
     return img + T_img[:, None] * bg[None, :, None, None], overflow
 
 
+def probe_tile_depths(
+    projs: ProjectedGaussians,
+    colors: jax.Array,
+    opacities: jax.Array,
+    height: int,
+    width: int,
+    config,
+    probe_capacity: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """Saturation probe for the cascade auto-tuner: render one deep
+    single-tier pass and return per-tile (true_count, NEEDED depth), both
+    (B*T,) int32. Needed depth = max over the tile's pixels of n_contrib —
+    the rank at which the blend's CUDA-parity early termination
+    (T < 1e-4, reference forward.cu semantics) stopped consuming
+    gaussians. Capacity >= needed depth makes forward AND backward exactly
+    what the uncapped CUDA rasterizer computes (its backward also only
+    traverses the contributing ranks), so tiers tuned on this histogram
+    buy CUDA-exact coverage at a fraction of the raw-count capacity: on a
+    converged avatar most binned pairs sit behind saturated transmittance.
+    A tile whose needed depth equals `probe_capacity` may want more — the
+    tuner treats it as "at least this much" (and overflow reporting stays
+    honest either way)."""
+    ts = config.tile_size
+    M = config.max_tiles_per_gaussian
+    MW = MH = int(math.isqrt(M))
+    B = colors.shape[0]
+    txn, tyn = _cdiv(width, ts), _cdiv(height, ts)
+    n_tiles = txn * tyn
+    G = B * n_tiles
+    K = max(_CHUNK, -(-probe_capacity // _CHUNK) * _CHUNK)
+
+    ctx = _bin_gaussians(
+        projs, colors, opacities, height, width, ts, MW, MH,
+        stable=bool(getattr(config, "sort_stable", True)),
+    )
+    all_tiles = jnp.arange(G, dtype=jnp.int32)
+    params, counts = _gather_tile_params(ctx, all_tiles, 0, K)
+    tileids = all_tiles % n_tiles
+
+    backend = getattr(config, "backend", "auto")
+    if backend in ("auto", "tile"):
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "xla":
+        _, _, ncon, _ = _blend_xla(params, tileids, txn, ts)  # (G, PX)
+    else:
+        blend = _make_pallas_blend(
+            txn, ts, K, backend == "pallas_interpret",
+            str(getattr(config, "blend_acc_dtype", "float32")),
+        )
+        _, _, ncon, _ = blend(params, counts, tileids)  # (G, pxr, LANES)
+    needed = jnp.max(ncon.reshape(G, -1), axis=1).astype(jnp.int32)
+    return ctx.full_counts, needed
+
+
 def rasterize_tiled(
     proj: ProjectedGaussians,
     colors: jax.Array,

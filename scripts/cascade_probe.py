@@ -32,9 +32,16 @@ def main():
                          "(what a tune-at-train-start sees)")
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--coverage", type=float, default=0.999)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the histogram is "
+                         "platform-independent; works when the TPU tunnel "
+                         "is down)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from gaussianavatar_tpu.config import Config
@@ -47,11 +54,11 @@ def main():
     from gaussianavatar_tpu.ops.projection import project_gaussians
     from gaussianavatar_tpu.ops.rasterize_tile import _bin_gaussians
 
+    from gaussianavatar_tpu.engine.inference import PROBE_CAPACITY, make_counts_fn
+
     cfg = Config.load(join(args.model_path, "cfg_args.json"))
     bundle = setup_avatar(cfg, train=True)
     rcfg = raster_config(cfg, train=True)
-    ts = rcfg.tile_size
-    MW = int(np.sqrt(rcfg.max_tiles_per_gaussian))
 
     class _TX0:
         def init(self, p):
@@ -74,38 +81,21 @@ def main():
     drop = {"FovX", "FovY", "height", "width", "projection_matrix",
             "camera_center", "original_image"}
 
-    @jax.jit
-    def counts_fn(params, batch_stats, batch):
-        variables = {"params": params, "batch_stats": batch_stats}
-        world, shs, scales3, rotations, opacity, _, _ = _forward_gaussians(
-            bundle.net, variables, bundle.body_model, bundle.assets, batch,
-            jnp.int32(10_000_000), False, False,
-        )
-        B, N = world.shape[:2]
-        if rotations.ndim == 2:
-            rotations = jnp.broadcast_to(rotations[None], (B,) + rotations.shape)
-        opac = opacity.reshape(-1, N)
-        if opac.shape[0] == 1:
-            opac = jnp.broadcast_to(opac, (B, N))
-        projs = jax.vmap(
-            lambda m, s, r, wvt, fpt, tx, ty: project_gaussians(
-                m, s, r, wvt, fpt, tx, ty, H, W
-            )
-        )(world, scales3, rotations, batch["world_view_transform"],
-          batch["full_proj_transform"], batch["tan_fovx"], batch["tan_fovy"])
-        ctx = _bin_gaussians(projs, shs, opac, H, W, ts, MW, MW)
-        return ctx.full_counts
+    counts_fn = make_counts_fn(bundle, H, W, rcfg,
+                               probe_capacity=PROBE_CAPACITY)
 
     loader = BatchLoader(bundle.train_dataset, cfg.model.batch_size,
                          shuffle=True, seed=0)
-    all_counts = []
+    all_counts, all_needed = [], []
     for i, batch in enumerate(loader):
         if i >= args.batches:
             break
         feed = {k: v for k, v in batch.items() if k not in drop}
-        all_counts.append(np.asarray(counts_fn(state.params, state.batch_stats,
-                                               feed)))
+        fc, nd = counts_fn(state.params, state.batch_stats, feed)
+        all_counts.append(np.asarray(fc))
+        all_needed.append(np.asarray(nd))
     counts = np.concatenate([c.reshape(-1) for c in all_counts])
+    needed = np.concatenate([n.reshape(-1) for n in all_needed])
     total = counts.sum()
     print(f"\ntiles per image: {all_counts[0].size // cfg.model.batch_size}, "
           f"probe tiles: {counts.size}, total pairs/img: "
@@ -113,6 +103,10 @@ def main():
     qs = [0.5, 0.75, 0.9, 0.95, 0.99, 1.0]
     print("per-tile load quantiles:",
           {q: int(np.quantile(counts, q)) for q in qs})
+    print("per-tile NEEDED depth (saturation) quantiles:",
+          {q: int(np.quantile(needed, q)) for q in qs})
+    print(f"needed/true pair ratio: {needed.sum() / max(counts.sum(), 1):.3f}"
+          f"  (tiles at probe cap: {(needed >= 4096).mean():.2%})")
 
     def residual(tiers):
         """fraction of pairs a nested cascade drops (rank-based coverage)."""
@@ -128,14 +122,27 @@ def main():
 
     current = ((rcfg.tile_capacity, 1.0),
                (rcfg.tile_capacity_hi, rcfg.heavy_fraction))
-    print(f"\ncurrent train cascade {current}: drops {residual(current):.1%}")
-    for cov in (0.99, args.coverage, 0.9999):
+    cur_cost = rcfg.tile_capacity + rcfg.tile_capacity_hi * rcfg.heavy_fraction
+    print(f"\ncurrent train cascade {current} (cost {cur_cost:.0f}): "
+          f"drops {residual(current):.1%} of true pairs")
+    for cov in (0.99, args.coverage):
         tiers = tune_tiers(counts, coverage=cov, max_capacity=4096)
         cost = sum(K * f for K, f in tiers)
-        print(f"tuned @ coverage {cov}: {tiers}  (gather cost/tile {cost:.0f} "
-              f"vs current "
-              f"{rcfg.tile_capacity + rcfg.tile_capacity_hi * rcfg.heavy_fraction:.0f}, "
-              f"drops {residual(tiers):.2%})")
+        print(f"count-tuned @ cov {cov}: {tiers}  (cost {cost:.0f}, "
+              f"drops {residual(tiers):.2%} of true pairs)")
+    for margin in (1.25, 1.5):
+        tiers = tune_tiers(needed, margin=margin, max_capacity=4096)
+        cost = sum(K * f for K, f in tiers)
+        # residual vs the NEEDED histogram: what fraction of
+        # actually-contributing pairs the cascade would cut
+        tot_n = needed.sum()
+        cn = np.sort(needed)[::-1].astype(np.int64)
+        cap = np.zeros(cn.size, np.int64)
+        for K, f in tiers:
+            cap[: max(1, int(round(f * cn.size)))] += K
+        drop_n = np.maximum(cn - cap, 0).sum() / max(tot_n, 1)
+        print(f"saturation-tuned (margin {margin}): {tiers}  (cost {cost:.0f}, "
+              f"cuts {drop_n:.3%} of CONTRIBUTING pairs)")
     print(json.dumps({"quantiles": {str(q): int(np.quantile(counts, q)) for q in qs},
                       "total_pairs_per_img":
                       float(total / (args.batches * cfg.model.batch_size))}))

@@ -3,6 +3,7 @@ the tier table derived from a per-tile load histogram must be valid for
 rasterize_views_binned (nested, non-increasing fractions, multiples of 8),
 reach its coverage target, and flow through eval.py end to end."""
 
+import math
 import os
 import sys
 from os.path import join
@@ -122,3 +123,108 @@ def test_eval_cli_auto_cascade(tmp_path):
     eval_cli.main(["-m", out, "--auto_cascade", "1"])
     results = open(join(out, "test_free", "results.txt")).read()
     assert "psnr:" in results and "raster_overflow:" in results
+
+
+def _probe_scene(opac_value, n=300, seed=5):
+    """n gaussians stacked around the image center at spread depths, fixed
+    opacity -> the saturation probe's needed-depth behavior is predictable:
+    opaque stacks terminate after a handful of ranks, transparent ones
+    blend everything they own."""
+    import jax.numpy as jnp
+
+    from gaussianavatar_tpu.ops.camera import Camera
+    from gaussianavatar_tpu.ops.projection import ProjectedGaussians, project_gaussians
+
+    rng = np.random.default_rng(seed)
+    h = w = 64
+    K = np.array([[80.0, 0, w / 2], [0, 80.0, h / 2], [0, 0, 1]], np.float32)
+    cam = Camera.from_extrinsics(
+        np.eye(3, dtype=np.float32), np.array([0, 0, 2.0], np.float32), K, h, w
+    )
+    means = np.concatenate(
+        [rng.normal(scale=0.05, size=(n, 2)).astype(np.float32),
+         np.linspace(-0.5, 0.5, n, dtype=np.float32)[:, None]], axis=1)
+    scales = np.full((n, 3), 0.3, np.float32)  # big: whole-tile footprints
+    q = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opac = np.full((n,), opac_value, np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    proj = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+        cam.world_view_transform, cam.full_proj_transform,
+        cam.tan_fovx, cam.tan_fovy, h, w,
+    )
+    projs = ProjectedGaussians(*(x[None] for x in proj))
+    return projs, jnp.asarray(colors)[None], jnp.asarray(opac)[None], h, w
+
+
+def test_probe_tile_depths_saturation():
+    """probe_tile_depths: needed <= count everywhere; an OPAQUE depth stack
+    saturates after a few ranks (CUDA early termination) while a nearly
+    transparent one needs everything it owns."""
+    from gaussianavatar_tpu.ops.rasterize_tile import probe_tile_depths
+
+    cfg = tune_cfg = None
+    from gaussianavatar_tpu.ops.rasterize import RasterizeConfig
+
+    cfg = RasterizeConfig(tile_size=16, tile_capacity=64,
+                          max_tiles_per_gaussian=16, backend="xla")
+
+    projs, colors, opac, h, w = _probe_scene(0.99)
+    counts, needed = probe_tile_depths(projs, colors, opac, h, w, cfg,
+                                       probe_capacity=512)
+    counts, needed = np.asarray(counts), np.asarray(needed)
+    assert (needed <= counts).all()
+    busy = counts >= 100
+    assert busy.any()
+    # The per-tile needed depth is max over the tile's PIXELS, so tiles cut
+    # by a footprint edge keep deep needs (their rim pixels see tiny alphas
+    # that never saturate — CUDA blends deep there too). The tiles under
+    # the stack's core saturate in a few ranks: T after k alpha-.99 layers
+    # = .01^k < 1e-4 at k=2-3; assert with ~10x margin.
+    center = [5, 6, 9, 10]  # 4x4 tile grid of a 64^2 image, 16px tiles
+    assert counts[center].min() >= 100
+    assert needed[center].max() <= 32, (needed[center], counts[center])
+    assert needed[busy].max() > 100  # edge tiles genuinely stay deep
+
+    projs, colors, opac, h, w = _probe_scene(0.02)
+    counts_t, needed_t = probe_tile_depths(projs, colors, opac, h, w, cfg,
+                                           probe_capacity=512)
+    counts_t, needed_t = np.asarray(counts_t), np.asarray(needed_t)
+    # transparent: nothing terminates — on the stack's core tiles every
+    # owned pair contributes (rim tiles may legitimately skip sub-1/255
+    # alphas, which the binning counted but the blend's floor gates)
+    assert (needed_t[center] == counts_t[center]).all(), (
+        needed_t[center], counts_t[center])
+
+
+def test_saturation_tuned_tiers_match_deep_render():
+    """Tiers tuned on the NEEDED-depth histogram render the opaque stack
+    essentially identically to a deep render, at a fraction of the
+    capacity (the whole point of the saturation-aware auto-cascade)."""
+    import jax.numpy as jnp
+
+    from gaussianavatar_tpu.ops.rasterize import RasterizeConfig
+    from gaussianavatar_tpu.ops.rasterize_tile import (
+        probe_tile_depths, rasterize_views_binned,
+    )
+
+    cfg = RasterizeConfig(tile_size=16, tile_capacity=512,
+                          max_tiles_per_gaussian=16, backend="xla")
+    projs, colors, opac, h, w = _probe_scene(0.9)
+    counts, needed = probe_tile_depths(projs, colors, opac, h, w, cfg,
+                                       probe_capacity=512)
+    tiers = tune_tiers(np.asarray(needed), margin=1.25, max_capacity=512)
+    check_valid(tiers)
+    # never costlier than margin x the worst tile paid everywhere (on this
+    # uniformly deep toy scene that bound is tight; bimodal avatar scenes
+    # are where the saturation tuner wins big — see cascade_probe.py runs)
+    bound = math.ceil(np.asarray(counts).max() * 1.25 / 128) * 128
+    assert cascade_cost(tiers) <= bound, (tiers, bound)
+
+    bgv = jnp.ones((3,), jnp.float32)
+    img_tuned, ov = rasterize_views_binned(
+        projs, colors, opac, bgv, h, w, cfg._replace(tiers=tiers))
+    img_deep, _ = rasterize_views_binned(projs, colors, opac, bgv, h, w, cfg)
+    mse = float(jnp.mean((img_tuned - img_deep) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 45.0, (tiers, psnr)
