@@ -149,11 +149,13 @@ def autotune_raster(inf: InferenceBundle, height: int, width: int, batch):
     rcfg = raster_config(inf.cfg)
     counts = make_counts_fn(inf.bundle, height, width, rcfg,
                             probe_capacity=PROBE_CAPACITY)
-    _, needed = counts(inf.state.params, inf.state.batch_stats, batch)
+    cnts, needed = counts(inf.state.params, inf.state.batch_stats, batch)
     # 1.25x margin: the probe batch is a handful of frames; unseen poses
-    # shift tile loads a little (overflow stays reported regardless)
+    # shift tile loads a little (overflow stays reported regardless).
+    # order_by: runtime tier assignment ranks tiles by binned count
     tiers = tune_tiers(np.asarray(needed), margin=1.25,
-                       max_capacity=PROBE_CAPACITY)
+                       max_capacity=PROBE_CAPACITY,
+                       order_by=np.asarray(cnts))
     return rcfg._replace(tiers=tiers)
 
 

@@ -225,11 +225,14 @@ def train(
             probe_feed["inp_pos_map"] = probe_feed["inp_pos_map"].transpose(0, 2, 3, 1)
 
         def tune_now(st):
-            _, needed = counts_fn(st.params, st.batch_stats, probe_feed)
+            cnts, needed = counts_fn(st.params, st.batch_stats, probe_feed)
             # 1.5x margin at train time: the scene keeps evolving between
-            # retunes and gradients flow only through blended ranks
+            # retunes and gradients flow only through blended ranks.
+            # order_by: the runtime hands tiers out by count rank, so the
+            # needed-depth curve must be optimized in that order
             return tune_tiers(np.asarray(needed), margin=1.5,
-                              max_capacity=PROBE_CAPACITY)
+                              max_capacity=PROBE_CAPACITY,
+                              order_by=np.asarray(cnts))
 
         tiers = tune_now(state)
         rcfg_train = rcfg_train._replace(tiers=tiers)

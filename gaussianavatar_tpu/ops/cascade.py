@@ -51,9 +51,11 @@ def _quantize_cap(x: float, max_capacity: int) -> int:
 
 def _build_cascade(c, K0, target, max_capacity, max_tiers, s_quant):
     """Greedy nested completion on top of base capacity K0. `c` is the
-    per-tile histogram sorted DESCENDING; tiers apply to prefixes of that
-    rank order — exactly how the rasterizer assigns them (top_k by binned
-    count, nested)."""
+    per-tile histogram in the runtime's tier-assignment order (top_k by
+    binned count, nested prefixes) — descending when the histogram itself
+    is the ranking signal, possibly non-monotone when tuning needed depths
+    ordered by counts (tune_tiers order_by). Either way tiers apply to
+    prefixes of `c`, exactly as the rasterizer hands capacity out."""
     G = c.size
     tiers = [(K0, 1.0)]
     cap = np.full(G, K0, np.int64)
@@ -95,6 +97,7 @@ def tune_tiers(
     max_capacity: int = 4096,
     max_tiers: int = 4,
     margin: float = 1.0,
+    order_by=None,
 ) -> Tuple[Tuple[int, float], ...]:
     """Pick a nested capacity cascade ((K0, 1.0), (K1, f1), ...) from a
     per-tile depth histogram (any shape; flattened) — either true gaussian
@@ -110,6 +113,16 @@ def tune_tiers(
     `margin` scales the histogram up front (headroom for scene drift
     between periodic retunes). Truncation is never silent either way: the
     render reports overflow.
+
+    `order_by` (same shape as `full_counts`): the runtime assigns heavy
+    tiers to prefixes of the tiles ranked by BINNED count
+    (rasterize_tile top_k(full_counts)) — the only per-step signal that
+    exists before blending — NOT by the tuner's histogram. When tuning on
+    saturation-probe NEEDED depths, pass the probe's true counts here so
+    the prefix optimization runs over the needed-depth curve in the order
+    capacity will actually be handed out: need <= count, so an opaque tile
+    (huge count, tiny need) outranks a semi-transparent one (mid count,
+    need == count) and would otherwise silently steal its deep tier.
     """
     counts = np.asarray(full_counts).reshape(-1).astype(np.int64)
     G = counts.size
@@ -120,7 +133,14 @@ def tune_tiers(
         counts = np.ceil(counts * margin).astype(np.int64)
         total = int(counts.sum())
 
-    c = np.sort(counts)[::-1]
+    if order_by is not None:
+        rank = np.asarray(order_by).reshape(-1)
+        if rank.size != G:
+            raise ValueError(f"order_by size {rank.size} != histogram {G}")
+        # stable argsort of -rank == top_k order incl. index tie-breaks
+        c = counts[np.argsort(-rank, kind="stable")]
+    else:
+        c = np.sort(counts)[::-1]
     target = int(math.ceil(coverage * total))
     s_quant = max(_CHUNK, G // 16)  # fraction steps of ~1/16 (program reuse)
 

@@ -315,9 +315,38 @@ def main():
 
         from gaussianavatar_tpu.engine.loop import raster_config
 
+        rcfg_train = raster_config(cfg, train=True)
+        rcfg_render = raster_config(cfg, train=False)
+        if getattr(cfg.raster, "auto_cascade", 0):
+            # the campaign trained through saturation-tuned tiers; the probe
+            # must refine through the same coverage or its gradients see a
+            # different (starved) objective than training did
+            from gaussianavatar_tpu.engine.inference import (
+                PROBE_CAPACITY, make_counts_fn,
+            )
+            from gaussianavatar_tpu.ops.cascade import tune_tiers
+
+            counts_fn = make_counts_fn(bundle, H, W, rcfg_train,
+                                       probe_capacity=PROBE_CAPACITY)
+            pb = next(iter(BatchLoader(bundle.train_dataset, bs,
+                                       shuffle=False)))
+            feed0 = {k: v for k, v in pb.items()
+                     if k not in ("FovX", "FovY", "height", "width",
+                                  "projection_matrix", "camera_center",
+                                  "original_image")}
+            if "inp_pos_map" in feed0 and feed0["inp_pos_map"].shape[1] == 3:
+                feed0["inp_pos_map"] = feed0["inp_pos_map"].transpose(0, 2, 3, 1)
+            cnts0, needed = counts_fn(state.params, state.batch_stats, feed0)
+            tiers = tune_tiers(np.asarray(needed), margin=1.5,
+                               max_capacity=PROBE_CAPACITY,
+                               order_by=np.asarray(cnts0))
+            rcfg_train = rcfg_train._replace(tiers=tiers)
+            rcfg_render = rcfg_render._replace(tiers=tiers)
+            print(f"[pose-opt] auto_cascade tiers: {tiers}", flush=True)
+
         step = make_train_step(
             bundle.net, bundle.body_model, bundle.assets, tx, cfg.opt,
-            H, W, (1.0, 1.0, 1.0), raster_config(cfg, train=True), train_stage=1,
+            H, W, (1.0, 1.0, 1.0), rcfg_train, train_stage=1,
         )
         drop = {"FovX", "FovY", "height", "width", "projection_matrix", "camera_center"}
         one = jnp.float32(1.0)
@@ -383,7 +412,7 @@ def main():
         )  # net/geom frozen: cache identical for true/perturbed/refined
         render = make_cached_render_fn(
             bundle.net, bundle.body_model, bundle.assets,
-            H, W, (1.0, 1.0, 1.0), raster_config(cfg, train=False),
+            H, W, (1.0, 1.0, 1.0), rcfg_render,
         )
         from gaussianavatar_tpu.ops.ssim import psnr as _psnr
 

@@ -157,6 +157,66 @@ def _probe_scene(opac_value, n=300, seed=5):
     return projs, jnp.asarray(colors)[None], jnp.asarray(opac)[None], h, w
 
 
+def runtime_needed_coverage(tiers, counts, needed):
+    """Simulate rasterize_views_binned's tier assignment exactly: base tier
+    everywhere, each extra tier on the top-S tiles ranked by BINNED count
+    (top_k, index tie-breaks), capacities nested. Returns the fraction of
+    NEEDED gaussian-tile pairs the cascade actually blends."""
+    counts = np.asarray(counts).astype(np.int64)
+    needed = np.asarray(needed).astype(np.int64)
+    G = counts.size
+    cap = np.full(G, tiers[0][0], np.int64)
+    order = np.argsort(-counts, kind="stable")
+    for K, f in tiers[1:]:
+        S = min(max(8, int(round(G * f))), G)
+        cap[order[:S]] += K
+    return np.minimum(cap, needed).sum() / max(needed.sum(), 1)
+
+
+def test_order_by_matches_runtime_assignment():
+    """The runtime hands heavy tiers to the tiles with the largest BINNED
+    counts, but capacity must cover the NEEDED depths. An opaque tile
+    (huge count, tiny need) outranks a semi-transparent tile
+    (mid count, need == count); tuning on the need histogram sorted by
+    ITSELF plans capacity for an assignment order the runtime won't use.
+    order_by=counts optimizes the needed curve in true assignment order."""
+    G = 256
+    counts = np.zeros(G, np.int64)
+    needed = np.zeros(G, np.int64)
+    # 32 opaque tiles: massive stacks that saturate immediately
+    counts[:32] = 10_000
+    needed[:32] = 8
+    # 16 semi-transparent tiles: every owned pair contributes
+    counts[32:48] = 600
+    needed[32:48] = 600
+    # light background tiles
+    counts[48:] = 16
+    needed[48:] = 16
+
+    naive = tune_tiers(needed, max_capacity=4096)
+    fixed = tune_tiers(needed, max_capacity=4096, order_by=counts)
+    check_valid(fixed)
+    cov_naive = runtime_needed_coverage(naive, counts, needed)
+    cov_fixed = runtime_needed_coverage(fixed, counts, needed)
+    # the naive plan parks its deep tier on the opaque tiles and starves
+    # the transparent ones; the order-aware plan covers the target
+    assert cov_fixed >= 0.999, (fixed, cov_fixed)
+    assert cov_naive < 0.999, (naive, cov_naive)
+    assert cov_fixed > cov_naive
+
+
+def test_order_by_noop_when_orders_agree():
+    """When the count ranking and the needed ranking coincide (needed is a
+    monotone function of count), order_by must not change the plan."""
+    rng = np.random.default_rng(1)
+    counts = rng.integers(10, 2000, 512)
+    needed = counts // 3  # same descending order
+    a = tune_tiers(needed)
+    b = tune_tiers(needed, order_by=counts)
+    assert a == b, (a, b)
+    assert runtime_needed_coverage(b, counts, needed) >= 0.999
+
+
 def test_probe_tile_depths_saturation():
     """probe_tile_depths: needed <= count everywhere; an OPAQUE depth stack
     saturates after a few ranks (CUDA early termination) while a nearly
