@@ -61,6 +61,31 @@ def test_train_dp8_and_resume(datasets, tmp_path):
     assert np.isfinite(float(results.split("psnr:")[1].split()[0]))
 
 
+def test_train_dp_auto_cascade(datasets, tmp_path):
+    """--dp and --auto_cascade compose: the saturation-probe tuner runs on
+    REPLICATED state (loop.py replicates before tuning) and the retune at
+    the save boundary must not disturb the sharded step. Guards the
+    round-3 feature pair actually shipping together."""
+    import json
+
+    import train as train_cli
+
+    out = str(tmp_path / "dp_ac_out")
+    train_cli.main(
+        ["-s", join(datasets, "subjB"), "-m", out, *SMALL_ARGS,
+         "--batch_size", "4", "--no_lpips", "--dp", "2",
+         "--auto_cascade", "1", "--epochs", "2", "--save_epochs", "1",
+         "--save_epoch", "1"]
+    )
+    assert os.path.exists(join(out, "net", "iteration_2"))
+    with open(join(out, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    events = {r["event"]: r["value"] for r in rows if "event" in r}
+    assert "auto_cascade" in events, events
+    tiers = eval(events["auto_cascade"])
+    assert tiers[0][1] == 1.0 and all(k % 8 == 0 for k, _ in tiers)
+
+
 def test_train_multi_4subjects_grid_and_resume(datasets, tmp_path):
     import train_multi as tm
 
