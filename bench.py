@@ -202,6 +202,12 @@ def main():
                 "vs_baseline": round(fps / 30.0, 3),
                 "render_fps_1024px": round(fps_1024, 2),
                 "stage1_train_it_per_sec": round(train_ips, 2),
+                # vs the documented A100 reference-step ESTIMATE (BASELINE.md
+                # "A100 anchor": ~10-25 it/s from published 3DGS-pipeline
+                # timings; no A100 access here, so a range, not a measurement)
+                "train_vs_a100_est_range": [
+                    round(train_ips / 25.0, 2), round(train_ips / 10.0, 2)
+                ],
                 "render_overflow": overflow,
             }
         )
