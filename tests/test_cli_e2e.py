@@ -132,3 +132,26 @@ def test_train_auto_cascade(dataset, tmp_path):
     eval_cli.main(["-m", out, "--auto_cascade", "1"])
     results = open(join(out, "test_free", "results.txt")).read()
     assert "psnr:" in results
+
+
+def test_eval_inherits_auto_cascade_from_cfg(dataset, tmp_path, capsys):
+    """A model trained with --auto_cascade 1 must evaluate through the
+    auto-tuned cascade WITHOUT the flag being repeated: eval.py merges the
+    saved cfg_args.json raster params, so the tuner runs on load. This is
+    the path quality-gate campaigns rely on (their eval calls pass no
+    raster flags)."""
+    import train as train_cli
+
+    out = str(tmp_path / "out_ac_inherit")
+    train_cli.main(
+        ["-s", dataset, "-m", out, *SMALL_ARGS,
+         "--epochs", "1", "--save_epochs", "0", "--max_steps", "2",
+         "--auto_cascade", "1", "--no_lpips"]
+    )
+
+    import eval as eval_cli
+
+    eval_cli.main(["-m", out])  # no --auto_cascade here
+    assert "auto_cascade tiers:" in capsys.readouterr().out
+    results = open(join(out, "test_free", "results.txt")).read()
+    assert "psnr:" in results and "raster_overflow:" in results
