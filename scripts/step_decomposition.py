@@ -42,6 +42,14 @@ def main():
     ap.add_argument("--gather_flat", type=int, default=0,
                     help="1 = gather param slabs as dense 16-elem slices from "
                          "the flat packed table (gather_flat config knob)")
+    ap.add_argument("--kb", type=int, default=128,
+                    help="base tier capacity (default: the swept 128)")
+    ap.add_argument("--kh", type=int, default=768,
+                    help="heavy tier capacity (default: the swept 768); use "
+                         "e.g. --kb 8 --kh 4096 --frac 0.53 to approximate "
+                         "the 512-query saturation cascade's cost (~2184)")
+    ap.add_argument("--frac", type=float, default=0.25,
+                    help="heavy tier tile fraction")
     ap.add_argument("--only", default=None,
                     help="time just this variant (e.g. 'full') — for A/B "
                          "runs that don't need the whole ablation table")
@@ -101,7 +109,7 @@ def main():
     ts = 32
     txn, tyn = -(-W // ts), -(-H // ts)
     T = txn * tyn
-    Kb, Kh, frac = 128, 768, 0.25
+    Kb, Kh, frac = args.kb, args.kh, args.frac
     M, MW = 9, 3
     G = B * T
     pxr = ts * ts // 128
