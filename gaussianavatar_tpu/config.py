@@ -164,6 +164,12 @@ class RasterParams:
     # gather but measured 17x SLOWER (XLA TPU serializes that gather form) —
     # keep 0; knob retained as the measured record (BASELINE.md round 3)
     gather_flat: int = 0
+    # 1 = permute the packed table into sorted order once per render, then
+    # build each tile's slab as ONE contiguous compact window of its flat
+    # view (vs one lane-padded row gather per rank — 8x the bytes, random
+    # order). Bit-exact forward; see BASELINE.md round-3 gather experiments
+    # for the measured verdict
+    gather_window: int = 0
 
 
 def _add_group(parser: ArgumentParser, cls, name: str, shorthands: dict):

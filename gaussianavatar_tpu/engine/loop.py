@@ -101,6 +101,7 @@ def raster_config(cfg: Config, train: bool = False) -> RasterizeConfig:
         sort_stable=bool(getattr(r, "sort_stable", 1)) if train
         else bool(getattr(r, "render_sort_stable", 1)),
         gather_flat=bool(getattr(r, "gather_flat", 0)),
+        gather_window=bool(getattr(r, "gather_window", 0)),
     )
 
 

@@ -53,6 +53,7 @@ class RasterizeConfig(NamedTuple):
     # default: measured 17x slower (XLA TPU serializes the 1-D sliced
     # gather; see rasterize_tile._gather_tile_params / BASELINE.md)
     gather_flat: bool = False
+    gather_window: bool = False
 
 
 def rasterize(

@@ -255,6 +255,56 @@ def _gather_tile_params(
     return params, counts
 
 
+def _window_table(ctx: BinContext, pad_rows: int) -> jax.Array:
+    """Permute the packed table into sorted (tile, depth) order ONCE and
+    flatten it compact: every tile's depth ranks [k0, k0+K) then live in ONE
+    contiguous 16*K-element window of the 1-D view. `pad_rows` zero rows
+    (>= the SUM of tier capacities: a tail tile's window start off+k0 can
+    overshoot the valid region by up to the cumulative prior capacity)
+    keep every window read in-bounds without shifting it against its
+    validity mask.
+
+    Rationale (gather_window knob): the default row gather `packed[ids]`
+    reads lane-padded rows — 512 B across the bus for a 64 B payload — and
+    its row count is the CASCADE COST (sum over tiers of S*K), which the
+    saturation-tuned 512-query cascade makes ~2.2x the key count L. The
+    permutation costs ONE padded row gather of only L rows; the per-tile
+    slabs then come from contiguous compact slices (64 B/row, sequential) —
+    ~8x fewer gather bytes moving in access-pattern-friendly order. Whether
+    XLA lowers the big-slice gather to per-slice block copies (fast) or the
+    element-serial path that made 16-element slices 17x slower is a
+    hardware question — this knob exists to measure exactly that."""
+    permuted = ctx.packed[ctx.sorted_vals]  # (L, 16) row gather, fast path
+    pad = jnp.zeros((pad_rows, permuted.shape[1]), permuted.dtype)
+    return jnp.concatenate([permuted, pad]).reshape(-1)  # compact 1-D
+
+
+def _window_tile_params(
+    ctx: BinContext, window_tbl: jax.Array, tile_sel: jax.Array, k0: int, K: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Window variant of `_gather_tile_params`: identical (S, K, 16) params
+    + (S,) counts, built from `_window_table`'s flat view with one
+    contiguous 16*K-element slice per selected tile."""
+    off0 = ctx.offsets[tile_sel] + k0
+    off1 = ctx.offsets[tile_sel + 1]
+    counts = jnp.clip(off1 - off0, 0, K)
+    S = tile_sel.shape[0]
+    params = jax.lax.gather(
+        window_tbl,
+        (off0[:, None] * 16),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+        ),
+        slice_sizes=(16 * K,),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,  # zero-row padded
+    ).reshape(S, K, 16)
+    in_range = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+    # rows past the tile's count hold the NEXT tile's data — zero them, same
+    # contract as the row gather (valid channel 0 -> free in the blend)
+    params = params * in_range[..., None].astype(params.dtype)
+    return params, counts
+
+
 # --------------------------------------------------------------------------
 # XLA blend backend (semantics twin of the Pallas kernel; CPU-friendly)
 # --------------------------------------------------------------------------
@@ -588,7 +638,14 @@ def rasterize_views_binned(
     )
     all_tiles = jnp.arange(G, dtype=jnp.int32)
     gather_flat = bool(getattr(config, "gather_flat", False))
-    params, counts = _gather_tile_params(ctx, all_tiles, 0, K, flat=gather_flat)
+    gather_window = bool(getattr(config, "gather_window", False))
+    if gather_window:
+        wtbl = _window_table(ctx, pad_rows=sum(cap for cap, _ in tiers))
+        gat = lambda sel, k0, cap: _window_tile_params(ctx, wtbl, sel, k0, cap)
+    else:
+        gat = lambda sel, k0, cap: _gather_tile_params(
+            ctx, sel, k0, cap, flat=gather_flat)
+    params, counts = gat(all_tiles, 0, K)
     tileids = all_tiles % n_tiles
 
     backend = getattr(config, "backend", "auto")
@@ -622,7 +679,7 @@ def rasterize_views_binned(
         # fractions are non-increasing, so each tier's top-S set nests inside
         # the previous tier's (top_k ties break by index, deterministically)
         hv = jax.lax.top_k(ctx.full_counts, S)[1].astype(jnp.int32)
-        params_h, counts_h = _gather_tile_params(ctx, hv, k0, cap, flat=gather_flat)
+        params_h, counts_h = gat(hv, k0, cap)
         c2, T2, _, d2 = blend_any(params_h, counts_h, hv % n_tiles)
         # compose segments: alpha blending is linear in incoming transmittance.
         # The early-termination gate is a non-differentiable cutoff (CUDA

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--gather_flat", type=int, default=0,
                     help="1 = gather param slabs as dense 16-elem slices from "
                          "the flat packed table (gather_flat config knob)")
+    ap.add_argument("--gather_window", type=int, default=0,
+                    help="1 = permute packed into sorted order once, slabs as "
+                         "contiguous compact windows (gather_window knob)")
     ap.add_argument("--kb", type=int, default=128,
                     help="base tier capacity (default: the swept 128)")
     ap.add_argument("--kh", type=int, default=768,
@@ -210,6 +213,10 @@ def main():
 
                 pb, cb = make_gat(all_tiles, 0, Kb)(ctx.packed)
                 ph, ch = make_gat(hv, Kb, Kh)(ctx.packed)
+            elif args.gather_window:
+                wtbl = rt._window_table(ctx, pad_rows=Kb + Kh)
+                pb, cb = rt._window_tile_params(ctx, wtbl, all_tiles, 0, Kb)
+                ph, ch = rt._window_tile_params(ctx, wtbl, hv, Kb, Kh)
             else:
                 pb, cb = rt._gather_tile_params(ctx, all_tiles, 0, Kb, flat=fl)
                 ph, ch = rt._gather_tile_params(ctx, hv, Kb, Kh, flat=fl)

@@ -289,3 +289,42 @@ def test_flat_gather_bit_exact_fwd_and_grad():
     assert float(jnp.abs(g0).sum()) > 0
     np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+def test_window_gather_matches_row_gather_fwd_and_grad():
+    """gather_window=True routes tile slabs through the sorted-order
+    permuted table (one row gather of L rows, then contiguous compact
+    windows) — same rows, same zero-masking, so the image must be
+    bit-identical through the cascade. Gradients flow through an extra
+    permutation scatter-add, which may regroup f32 additions for gaussians
+    binned into several tiles — allow ulp-level tolerance there."""
+    cam, arrays = make_scene(seed=3)
+    means, scales, q, opac, colors, bg = tuple(arrays)
+    cfg = CFG_XLA._replace(tile_capacity=32, tile_capacity_hi=32)
+
+    def f(op, window):
+        img = rasterize(means, colors, scales, q, op, cam, bg,
+                        config=cfg._replace(gather_window=window))
+        w = jnp.cos(jnp.arange(img.size, dtype=jnp.float32).reshape(img.shape))
+        return jnp.sum(img * w), img
+
+    (_, img0), g0 = jax.value_and_grad(f, has_aux=True)(opac, False)
+    (_, img1), g1 = jax.value_and_grad(f, has_aux=True)(opac, True)
+    assert float(jnp.abs(g0).sum()) > 0
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_window_gather_deep_tier_offsets():
+    """The window path must stay exact when later tiers read rank windows
+    [k0, k0+K) with k0 > 0 and when windows overhang the valid key region
+    (zero-row padding, not CLIP shifting): render a scene whose busiest
+    tiles exceed the base capacity and compare against the row gather."""
+    cam, arrays = make_scene(n=300, seed=11)
+    means, scales, q, opac, colors, bg = tuple(arrays)
+    cfg = CFG_XLA._replace(tiers=((8, 1.0), (64, 0.25), (128, 0.0625)))
+    img0 = rasterize(means, colors, scales, q, opac, cam, bg, config=cfg)
+    img1 = rasterize(means, colors, scales, q, opac, cam, bg,
+                     config=cfg._replace(gather_window=True))
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
