@@ -54,6 +54,15 @@ class RasterizeConfig(NamedTuple):
     # gather; see rasterize_tile._gather_tile_params / BASELINE.md)
     gather_flat: bool = False
     gather_window: bool = False
+    # ragged slot-stream blending (ops/rasterize_ragged): per-tile
+    # DATA-DEPENDENT capacities under one static chunk budget, replacing the
+    # capacity-tier approximation entirely — no tier quantization, no
+    # count-rank order premium, no base-tier cost on empty tiles
+    ragged: bool = False
+    ragged_chunk: int = 128  # rows per Pallas grid step
+    # static budget as average rows per tile (cascade-cost scale);
+    # 0 = worst case (every binned pair fits)
+    ragged_budget: int = 0
 
 
 def rasterize(

@@ -606,6 +606,13 @@ def rasterize_views_binned(
     batch folded into its grid. With `config.tile_capacity_hi` > 0 a second
     blend pass extends the `heavy_fraction` busiest tiles to capacity
     K + K_hi (see module docstring)."""
+    if bool(getattr(config, "ragged", False)):
+        from gaussianavatar_tpu.ops.rasterize_ragged import rasterize_views_ragged
+
+        return rasterize_views_ragged(
+            projs, colors, opacities.reshape(colors.shape[0], -1), bg,
+            height, width, config,
+        )
     ts = config.tile_size
     M = config.max_tiles_per_gaussian
     # capacity tiers: explicit `tiers` wins; else (tile_capacity [+ _hi])

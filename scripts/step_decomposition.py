@@ -53,6 +53,14 @@ def main():
                          "the 512-query saturation cascade's cost (~2184)")
     ap.add_argument("--frac", type=float, default=0.25,
                     help="heavy tier tile fraction")
+    ap.add_argument("--ragged", type=int, default=0,
+                    help="1 = ragged slot-stream blend (rasterize_ragged) "
+                         "instead of the capacity cascade; gather/blend "
+                         "ablations apply to the ragged pieces")
+    ap.add_argument("--ragged_budget", type=int, default=0,
+                    help="ragged static budget, avg rows/tile (0 = worst "
+                         "case: every binned pair fits)")
+    ap.add_argument("--ragged_chunk", type=int, default=128)
     ap.add_argument("--only", default=None,
                     help="time just this variant (e.g. 'full') — for A/B "
                          "runs that don't need the whole ablation table")
@@ -178,6 +186,45 @@ def main():
         else:
             ctx = rt._bin_gaussians(projs, colors, opacities, H, W, ts, MW, MW,
                                     stable=stable)
+        if args.ragged:
+            from gaussianavatar_tpu.ops import rasterize_ragged as rr
+
+            CB = args.ragged_chunk
+            C = (-(-(G * args.ragged_budget) // CB) if args.ragged_budget
+                 else -(-(B * N * M) // CB) + G)
+            C = -(-C // 256) * 256 if C >= 256 else -(-C // 8) * 8
+            theta = rr._budget_theta(ctx.full_counts, CB, C)
+            caps_eff = jnp.minimum(ctx.full_counts, theta)
+            ct, k0, last = rr._chunk_maps(caps_eff, CB, C)
+            tloc = (jnp.arange(G, dtype=jnp.int32) % T).astype(jnp.int32)
+            if skip == "gather":
+                s = jnp.sum(ctx.sorted_vals) * jnp.float32(1e-12)
+                table = jnp.broadcast_to(
+                    ctx.packed[:CB][None], (C, CB, 16)) + s
+            else:
+                L = ctx.sorted_vals.shape[0]
+                k0_rows = jnp.repeat(k0, CB)
+                k_row = k0_rows + (jnp.arange(C * CB, dtype=jnp.int32) % CB)
+                tile_rows = jnp.repeat(ct, CB)
+                vmask = (k0_rows >= 0) & (k_row < caps_eff[tile_rows])
+                src = jnp.clip(ctx.offsets[tile_rows] + k_row, 0, L - 1)
+                ids = jnp.where(vmask, ctx.sorted_vals[src], 0)
+                table = (ctx.packed[ids]
+                         * vmask[:, None].astype(ctx.packed.dtype)
+                         ).reshape(C, CB, 16)
+            if skip == "blend":
+                color_t = jnp.mean(table) + jnp.zeros((G, 3, pxr, 128))
+                fT = jnp.zeros((G, pxr, 128))
+                return jnp.sum(color_t) + jnp.sum(fT)
+            blend = rr._make_ragged_blend(txn, ts, G, CB, False)
+            c1, T1, _, _ = blend(table, caps_eff, ct, k0, last, tloc)
+            vis = caps_eff > 0
+            c1 = jnp.where(vis[:, None, None, None], c1, 0.0)
+            T1 = jnp.where(vis[:, None, None], T1, 1.0)
+            img = c1.reshape(B, T, 3, pxr, 128)
+            Ti = T1.reshape(B, T, 1, pxr, 128)
+            wimg = jax.lax.broadcasted_iota(jnp.float32, img.shape, 1) * 1e-6
+            return jnp.sum(img * (1.0 + wimg)) + jnp.sum(Ti)
         all_tiles = jnp.arange(G, dtype=jnp.int32)
         S = int(G * frac)
         hv = jax.lax.top_k(ctx.full_counts, S)[1].astype(jnp.int32)
