@@ -170,6 +170,19 @@ class RasterParams:
     # order). Bit-exact forward; see BASELINE.md round-3 gather experiments
     # for the measured verdict
     gather_window: int = 0
+    # 1 = TRAIN with the ragged slot-stream rasterizer (ops/rasterize_ragged):
+    # per-tile data-dependent capacities instead of capacity tiers. With
+    # auto_cascade=1 the loop maintains a per-frame NEED table (saturation
+    # probe over every train frame, refreshed at save boundaries) and feeds
+    # each step exactly its frames' needed depths — the pairs the uncapped
+    # CUDA rasterizer would blend, with no tier quantization or count-rank
+    # order premium. Render/eval keep the cascade (novel poses have no
+    # cached need).
+    ragged: int = 0
+    ragged_chunk: int = 128   # rows per Pallas grid step (ragged backend)
+    # static chunk budget, avg rows/tile (0 = auto: sized from the need
+    # table with headroom when auto_cascade, else worst case)
+    ragged_budget: int = 0
 
 
 def _add_group(parser: ArgumentParser, cls, name: str, shorthands: dict):

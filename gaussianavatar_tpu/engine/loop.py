@@ -102,6 +102,11 @@ def raster_config(cfg: Config, train: bool = False) -> RasterizeConfig:
         else bool(getattr(r, "render_sort_stable", 1)),
         gather_flat=bool(getattr(r, "gather_flat", 0)),
         gather_window=bool(getattr(r, "gather_window", 0)),
+        # ragged is a TRAIN-side knob: render/eval keep the cascade (novel
+        # poses carry no cached per-tile need)
+        ragged=bool(getattr(r, "ragged", 0)) if train else False,
+        ragged_chunk=int(getattr(r, "ragged_chunk", 128) or 128),
+        ragged_budget=int(getattr(r, "ragged_budget", 0) or 0),
     )
 
 
@@ -203,6 +208,8 @@ def train(
     # most retunes program-identical).
     rcfg_train = raster_config(cfg, train=True)
     tune_now = None
+    need_bank = None  # (F, T) int32 per-frame per-tile needed depths (ragged)
+    build_need_bank = budget_for = None
     if getattr(cfg.raster, "auto_cascade", 0):
         from gaussianavatar_tpu.engine.inference import (
             PROBE_CAPACITY, make_counts_fn,
@@ -211,34 +218,94 @@ def train(
 
         counts_fn = make_counts_fn(bundle, H, W, rcfg_train,
                                    probe_capacity=PROBE_CAPACITY)
-        pb = next(iter(BatchLoader(bundle.train_dataset, mp.batch_size,
-                                   shuffle=False)))
-        probe_feed = {
-            k: v for k, v in pb.items()
-            if k not in ("FovX", "FovY", "height", "width",
-                         "projection_matrix", "camera_center",
-                         "original_image")
-        }
-        if fix_inp is not None:
-            probe_feed["inp_pos_map"] = np.broadcast_to(
-                fix_inp[None], (mp.batch_size,) + fix_inp.shape)
-        elif "inp_pos_map" in probe_feed and probe_feed["inp_pos_map"].shape[1] == 3:
-            probe_feed["inp_pos_map"] = probe_feed["inp_pos_map"].transpose(0, 2, 3, 1)
 
-        def tune_now(st):
-            cnts, needed = counts_fn(st.params, st.batch_stats, probe_feed)
-            # 1.5x margin at train time: the scene keeps evolving between
-            # retunes and gradients flow only through blended ranks.
-            # order_by: the runtime hands tiers out by count rank, so the
-            # needed-depth curve must be optimized in that order
-            return tune_tiers(np.asarray(needed), margin=1.5,
-                              max_capacity=PROBE_CAPACITY,
-                              order_by=np.asarray(cnts))
+        def _probe_feed(pb):
+            feed = {
+                k: v for k, v in pb.items()
+                if k not in ("FovX", "FovY", "height", "width",
+                             "projection_matrix", "camera_center",
+                             "original_image")
+            }
+            if fix_inp is not None:
+                feed["inp_pos_map"] = np.broadcast_to(
+                    fix_inp[None], (mp.batch_size,) + fix_inp.shape)
+            elif "inp_pos_map" in feed and feed["inp_pos_map"].shape[1] == 3:
+                feed["inp_pos_map"] = feed["inp_pos_map"].transpose(0, 2, 3, 1)
+            return feed
 
-        tiers = tune_now(state)
-        rcfg_train = rcfg_train._replace(tiers=tiers)
-        logger.log_event("auto_cascade", str(tiers))
-        print(f"auto_cascade (train): tiers {tiers}")
+        if getattr(rcfg_train, "ragged", False):
+            # Ragged mode: instead of a global capacity cascade, maintain a
+            # per-frame NEED table — each train frame's saturation probe
+            # (the depth where CUDA-parity early termination stops per
+            # tile). The step then blends exactly the ranks the uncapped
+            # CUDA rasterizer would touch for ITS frames, with no tier
+            # quantization or count-rank order premium. Probe feeds are
+            # snapshotted now: after the GT bank is built the dataset stops
+            # serving images/inp maps, but retunes still need every frame.
+            from gaussianavatar_tpu.data.dataset import collate
+
+            F = len(bundle.train_dataset)
+            ts_r = rcfg_train.tile_size
+            T_img = (-(-W // ts_r)) * (-(-H // ts_r))
+            CBr = int(rcfg_train.ragged_chunk)
+            probe_feeds = []
+            for i in range(0, F, mp.batch_size):
+                idxs = [(i + j) % F for j in range(mp.batch_size)]
+                pb = collate([bundle.train_dataset[int(k)] for k in idxs])
+                probe_feeds.append((idxs, _probe_feed(pb)))
+
+            def build_need_bank(st):
+                nb = np.zeros((F, T_img), np.int32)
+                got = np.zeros(F, bool)
+                for idxs, feed in probe_feeds:
+                    _, needed = counts_fn(st.params, st.batch_stats, feed)
+                    needed = np.asarray(needed).reshape(mp.batch_size, T_img)
+                    for row, k in zip(needed, idxs):
+                        if not got[k]:
+                            nb[k] = row
+                            got[k] = True
+                # 1.5x margin: saturation evolves between retunes and
+                # gradients flow only through blended ranks
+                return np.minimum(
+                    np.ceil(nb * 1.5).astype(np.int64), PROBE_CAPACITY
+                ).astype(np.int32)
+
+            def budget_for(nb):
+                # static chunk budget: the worst batch is the B chunk-
+                # heaviest frames together; 15% headroom for drift
+                ch = (-(-nb.astype(np.int64) // CBr)).sum(axis=1)  # (F,)
+                top = int(np.sort(ch)[::-1][: mp.batch_size].sum())
+                C = int(top * 1.15) + mp.batch_size
+                C = -(-C // 256) * 256 if C >= 256 else -(-C // 8) * 8
+                return int(np.ceil(C * CBr / (mp.batch_size * T_img)))
+
+            need_bank = build_need_bank(state)
+            rcfg_train = rcfg_train._replace(ragged_budget=budget_for(need_bank))
+            logger.log_event(
+                "ragged_need_bank",
+                f"frames {F} budget {rcfg_train.ragged_budget} rows/tile")
+            print(f"ragged need table: {F} frames, budget "
+                  f"{rcfg_train.ragged_budget} rows/tile "
+                  f"(mean need {need_bank.mean():.0f})")
+        else:
+            pb = next(iter(BatchLoader(bundle.train_dataset, mp.batch_size,
+                                       shuffle=False)))
+            probe_feed = _probe_feed(pb)
+
+            def tune_now(st):
+                cnts, needed = counts_fn(st.params, st.batch_stats, probe_feed)
+                # 1.5x margin at train time: the scene keeps evolving between
+                # retunes and gradients flow only through blended ranks.
+                # order_by: the runtime hands tiers out by count rank, so the
+                # needed-depth curve must be optimized in that order
+                return tune_tiers(np.asarray(needed), margin=1.5,
+                                  max_capacity=PROBE_CAPACITY,
+                                  order_by=np.asarray(cnts))
+
+            tiers = tune_now(state)
+            rcfg_train = rcfg_train._replace(tiers=tiers)
+            logger.log_event("auto_cascade", str(tiers))
+            print(f"auto_cascade (train): tiers {tiers}")
 
     # Device-resident GT bank: upload every frame ONCE (uint8, lossless for
     # 8-bit PNG sources), gather by pose_idx inside the jitted step. The
@@ -330,6 +397,10 @@ def train(
                     )
                 elif "inp_pos_map" in feed and feed["inp_pos_map"].shape[1] == 3:
                     feed["inp_pos_map"] = feed["inp_pos_map"].transpose(0, 2, 3, 1)
+                if need_bank is not None:
+                    # per-frame per-tile needed depths -> the ragged
+                    # rasterizer's caps (train_step reshapes to (B*T,))
+                    feed["tile_caps"] = need_bank[batch["pose_idx"]]
                 yield feed
 
         feed_iter = device_prefetch(make_feeds(), depth=2, sharding=feed_sharding)
@@ -399,7 +470,7 @@ def train(
                 done = True
                 break
 
-        if tune_now is not None and not done and (
+        if (tune_now is not None or need_bank is not None) and not done and (
             epoch == epoch_start + 1 or epoch % mp.save_epoch == 0
         ):
             # re-tune after the warm-up epoch and at every save boundary:
@@ -407,12 +478,24 @@ def train(
             # Only a tier CHANGE costs a recompile — tune_tiers quantizes
             # capacities/fractions so consecutive retunes usually agree,
             # and the persistent XLA cache makes repeats across runs free.
-            new_tiers = tune_now(state)
-            if new_tiers != rcfg_train.tiers:
-                rcfg_train = rcfg_train._replace(tiers=new_tiers)
-                logger.log_event("auto_cascade_retuned", str(new_tiers))
-                print(f"auto_cascade (train, epoch-{epoch} retune): {new_tiers}")
-                step_fn, multi_fn = build_steps(rcfg_train)
+            if need_bank is not None:
+                need_bank = build_need_bank(state)
+                newb = budget_for(need_bank)
+                # caps are data (no recompile); only a budget GROWTH needs a
+                # larger grid — shrinks keep the compiled program
+                if newb > rcfg_train.ragged_budget:
+                    rcfg_train = rcfg_train._replace(ragged_budget=newb)
+                    logger.log_event("ragged_rebudget", str(newb))
+                    print(f"ragged need table (epoch-{epoch} retune): "
+                          f"budget {newb} rows/tile")
+                    step_fn, multi_fn = build_steps(rcfg_train)
+            else:
+                new_tiers = tune_now(state)
+                if new_tiers != rcfg_train.tiers:
+                    rcfg_train = rcfg_train._replace(tiers=new_tiers)
+                    logger.log_event("auto_cascade_retuned", str(new_tiers))
+                    print(f"auto_cascade (train, epoch-{epoch} retune): {new_tiers}")
+                    step_fn, multi_fn = build_steps(rcfg_train)
 
         if (epoch > saving_epochs[0]) and epoch % mp.save_epoch == 0:
             print(f"[Epoch {epoch}] saving model")

@@ -47,11 +47,12 @@ def make_render_views(H: int, W: int, bg_color, raster_cfg: RasterizeConfig):
 
     bg = jnp.asarray(bg_color, jnp.float32)
 
-    def render(means, colors, scales3, rotations, opacity, wvt, fpt, tanx, tany):
+    def render(means, colors, scales3, rotations, opacity, wvt, fpt, tanx, tany,
+               caps=None):
         return rasterize_views(
             means, colors, scales3, rotations, opacity,
             wvt, fpt, tanx, tany, H, W, bg, config=raster_cfg,
-            return_overflow=True,
+            return_overflow=True, caps=caps,
         )
 
     return render
@@ -156,6 +157,8 @@ def make_train_step(
                 world, shs, scales3, rotations, opacity,
                 batch["world_view_transform"], batch["full_proj_transform"],
                 batch["tan_fovx"], batch["tan_fovy"],
+                caps=(batch["tile_caps"].reshape(-1)
+                      if "tile_caps" in batch else None),
             )
             gt = batch["original_image"]
 

@@ -124,13 +124,17 @@ def rasterize_views(
     scale_modifier: float = 1.0,
     config: RasterizeConfig = RasterizeConfig(),
     return_overflow: bool = False,
+    caps: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Batched rendering -> (B, 3, H, W), or ((B, 3, H, W), overflow) with
     `return_overflow` (overflow = gaussian-tile pairs dropped by the capacity
     caps; the CUDA original is uncapped, so 0 means CUDA-exact coverage).
     Projection/binning vmap as XLA; the Pallas blend launches once with the
     batch folded into its tile grid (replacing the reference's per-item
-    Python render loop, avatar_model.py:332-365)."""
+    Python render loop, avatar_model.py:332-365).
+
+    `caps` (ragged backend only): (B*T,) int32 per-tile blend capacities,
+    e.g. probe-measured needed depths — see rasterize_ragged."""
     from gaussianavatar_tpu.ops.projection import project_gaussians
     from gaussianavatar_tpu.ops.rasterize_tile import rasterize_views_binned
 
@@ -158,6 +162,6 @@ def rasterize_views(
         return (stacked, jnp.int32(0)) if return_overflow else stacked
 
     img, overflow = rasterize_views_binned(
-        projs, colors, opacities, bg_color, height, width, config
+        projs, colors, opacities, bg_color, height, width, config, caps=caps
     )
     return (img, overflow) if return_overflow else img

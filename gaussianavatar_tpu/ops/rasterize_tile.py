@@ -599,20 +599,25 @@ def rasterize_views_binned(
     height: int,
     width: int,
     config,
+    caps=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Render a batch of views -> ((B, 3, H, W) image, () int32 overflow —
     the gaussian-tile pairs dropped by the capacity caps; 0 means the render
     is exact). Binning is vmapped XLA; the Pallas blend runs ONCE with the
     batch folded into its grid. With `config.tile_capacity_hi` > 0 a second
     blend pass extends the `heavy_fraction` busiest tiles to capacity
-    K + K_hi (see module docstring)."""
+    K + K_hi (see module docstring). `caps` (per-tile capacities) requires
+    the ragged backend."""
     if bool(getattr(config, "ragged", False)):
         from gaussianavatar_tpu.ops.rasterize_ragged import rasterize_views_ragged
 
         return rasterize_views_ragged(
             projs, colors, opacities.reshape(colors.shape[0], -1), bg,
-            height, width, config,
+            height, width, config, caps=caps,
         )
+    if caps is not None:
+        raise ValueError("per-tile caps require the ragged backend "
+                         "(RasterizeConfig.ragged=1)")
     ts = config.tile_size
     M = config.max_tiles_per_gaussian
     # capacity tiers: explicit `tiers` wins; else (tile_capacity [+ _hi])

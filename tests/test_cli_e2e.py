@@ -155,3 +155,69 @@ def test_eval_inherits_auto_cascade_from_cfg(dataset, tmp_path, capsys):
     assert "auto_cascade tiers:" in capsys.readouterr().out
     results = open(join(out, "test_free", "results.txt")).read()
     assert "psnr:" in results and "raster_overflow:" in results
+
+
+def test_train_ragged_need_table(dataset, tmp_path):
+    """--ragged 1 --auto_cascade 1 trains through the ragged slot-stream
+    rasterizer with a per-frame NEED table (saturation probe over every
+    train frame, refreshed at save boundaries). Eval inherits the cfg but
+    maps ragged to the train side only — it still runs (on the cascade)."""
+    import train as train_cli
+
+    out = str(tmp_path / "out_ragged")
+    train_cli.main(
+        ["-s", dataset, "-m", out, *SMALL_ARGS,
+         "--epochs", "2", "--save_epochs", "1",
+         "--ragged", "1", "--ragged_chunk", "16", "--auto_cascade", "1",
+         "--no_lpips"]
+    )
+    with open(join(out, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    events = {r["event"]: r["value"] for r in rows if "event" in r}
+    assert "ragged_need_bank" in events, events
+    assert "budget" in events["ragged_need_bank"]
+    losses = [r["total"] for r in rows if "total" in r]
+    assert losses and np.isfinite(losses[-1])
+    # the need-capped steps must report overflow (pairs beyond saturation
+    # are dropped by design and counted, never silent)
+    assert all(np.isfinite(r["raster_overflow"]) for r in rows
+               if "raster_overflow" in r)
+
+    import eval as eval_cli
+
+    eval_cli.main(["-m", out])
+    results = open(join(out, "test_free", "results.txt")).read()
+    assert "psnr:" in results
+
+
+def test_train_ragged_matches_cascade_first_step(dataset, tmp_path):
+    """One optimizer step, ragged (caps = true counts, ample budget) vs a
+    deep single-tier cascade: identical coverage -> the loss metrics logged
+    for the step must agree closely (same blended pairs, same op order)."""
+    import train as train_cli
+
+    def one_step(extra, tag):
+        out = str(tmp_path / f"out_{tag}")
+        # both runs go through the Pallas kernels (interpret on CPU): the
+        # ragged and cascade kernels share the inner op order, so matching
+        # coverage means bit-matching losses; the XLA-twin backend would add
+        # float-reassociation noise to the comparison
+        args = [a if a != "xla" else "pallas_interpret" for a in SMALL_ARGS]
+        # deep capacity: warm-up-scale gaussians stack tiles past 256, so the
+        # default test capacity would truncate the cascade while ragged
+        # (budget 0 = worst case) covers every pair — match coverage instead
+        args = [a if a != "256" else "2048" for a in args]
+        train_cli.main(
+            ["-s", dataset, "-m", out, *args,
+             "--epochs", "1", "--save_epochs", "0", "--max_steps", "1",
+             "--steps_per_dispatch", "1", "--no_lpips", *extra]
+        )
+        with open(join(out, "metrics.jsonl")) as f:
+            rows = [json.loads(l) for l in f]
+        return [r for r in rows if "total" in r][0]
+
+    # capacity 2048 >= every per-tile count on this tiny scene = exact
+    base = one_step([], "cascade_exact")
+    ragg = one_step(["--ragged", "1", "--ragged_chunk", "16"], "ragged_exact")
+    assert abs(base["total"] - ragg["total"]) < 1e-6, (base, ragg)
+    assert base["raster_overflow"] == ragg["raster_overflow"]
