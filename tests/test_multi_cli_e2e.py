@@ -202,3 +202,27 @@ def test_multi_matches_single_subject_training(datasets, tmp_path):
         flat_got = jax.tree.leaves(got)
         for r, g in zip(flat_ref, flat_got):
             np.testing.assert_allclose(g, r, atol=2e-4, rtol=1e-3)
+
+
+def test_train_dp_ragged_need_table(datasets, tmp_path):
+    """--dp and --ragged compose: the need-table probe runs on replicated
+    state, tile_caps ride the sharded feed (leading batch axis splits over
+    the mesh), and the ragged blend partitions with the step."""
+    import json
+
+    import train as train_cli
+
+    out = str(tmp_path / "dp_rg_out")
+    train_cli.main(
+        ["-s", join(datasets, "subjC"), "-m", out, *SMALL_ARGS,
+         "--batch_size", "4", "--no_lpips", "--dp", "2",
+         "--ragged", "1", "--ragged_chunk", "16", "--auto_cascade", "1",
+         "--epochs", "2", "--save_epochs", "1", "--save_epoch", "1"]
+    )
+    assert os.path.exists(join(out, "net", "iteration_2"))
+    with open(join(out, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    events = {r["event"]: r["value"] for r in rows if "event" in r}
+    assert "ragged_need_bank" in events, events
+    losses = [r["total"] for r in rows if "total" in r]
+    assert losses and np.isfinite(losses[-1])
