@@ -141,3 +141,42 @@ def test_fixed_inp_stage2(tmp_path):
     eval_cli.main(["-m", out2])
     results = open(join(out2, "test_free", "results.txt")).read()
     assert "psnr:" in results
+
+
+def test_stage2_ragged_need_table(tmp_path):
+    """Stage-2 training composes with --ragged 1 --auto_cascade 1: the
+    need-table probe snapshots per-frame inp posmaps at startup (the
+    dataset stops serving them once the device banks are built)."""
+    import json
+
+    from gaussianavatar_tpu.data.synthetic_writer import write_synthetic_dataset
+
+    data = str(tmp_path / "data")
+    out1 = str(tmp_path / "out_stage1")
+    out2 = str(tmp_path / "out_stage2_rg")
+    write_synthetic_dataset(data, n_train=4, n_test=2, image_size=64)
+
+    import train as train_cli
+
+    train_cli.main(
+        ["-s", data, "-m", out1, *SMALL_ARGS,
+         "--epochs", "1", "--save_epochs", "0", "--no_lpips"]
+    )
+    run_script("export_stage_1.py", "-m", out1, "-s", data, "--epoch", "1")
+    run_script("gen_pose_map_frames.py", "--source_path", data,
+               "--synthetic", "--size", "32")
+
+    train_cli.main(
+        ["-s", data, "-m", out2, *SMALL_ARGS,
+         "--train_stage", "2", "--stage1_out_path", join(out1, "net", "iteration_1"),
+         "--ragged", "1", "--ragged_chunk", "16", "--auto_cascade", "1",
+         "--epochs", "2", "--save_epochs", "1", "--save_epoch", "1",
+         "--no_lpips"]
+    )
+    assert os.path.exists(join(out2, "net", "iteration_2"))
+    with open(join(out2, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    events = {r["event"]: r["value"] for r in rows if "event" in r}
+    assert "ragged_need_bank" in events, events
+    losses = [r["total"] for r in rows if "total" in r]
+    assert losses and np.isfinite(losses[-1])
