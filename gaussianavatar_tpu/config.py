@@ -183,6 +183,10 @@ class RasterParams:
     # static chunk budget, avg rows/tile (0 = auto: sized from the need
     # table with headroom when auto_cascade, else worst case)
     ragged_budget: int = 0
+    # headroom multiplier on the per-frame needed depths (the scene keeps
+    # evolving between save-boundary retunes; gradients only flow through
+    # blended ranks). Rows scale with it: 1.5 costs ~50% over exact need
+    ragged_margin: float = 1.5
 
 
 def _add_group(parser: ArgumentParser, cls, name: str, shorthands: dict):

@@ -264,10 +264,11 @@ def train(
                         if not got[k]:
                             nb[k] = row
                             got[k] = True
-                # 1.5x margin: saturation evolves between retunes and
-                # gradients flow only through blended ranks
+                # margin: saturation evolves between retunes and gradients
+                # flow only through blended ranks (ragged_margin knob)
+                m = float(getattr(cfg.raster, "ragged_margin", 1.5) or 1.5)
                 return np.minimum(
-                    np.ceil(nb * 1.5).astype(np.int64), PROBE_CAPACITY
+                    np.ceil(nb * m).astype(np.int64), PROBE_CAPACITY
                 ).astype(np.int32)
 
             def budget_for(nb):

@@ -143,6 +143,15 @@ def main():
         drop_n = np.maximum(cn - cap, 0).sum() / max(tot_n, 1)
         print(f"saturation-tuned (margin {margin}): {tiers}  (cost {cost:.0f}, "
               f"cuts {drop_n:.3%} of CONTRIBUTING pairs)")
+    # ragged slot-stream comparison (--ragged 1 --auto_cascade 1): per-tile
+    # caps = need*margin as DATA — no tiers, no order premium, empty tiles
+    # free; chunk quantization is the only overhead
+    capped_need = np.minimum(np.ceil(needed * 1.5), 4096)
+    for CB in (64, 128, 256):
+        rows = np.ceil(capped_need / CB) * CB
+        print(f"ragged need-table CB={CB}: mean rows/tile {rows.mean():.0f} "
+              f"(100% of contributing pairs; "
+              f"{rows.mean() / max(capped_need.mean(), 1):.2f}x over un-chunked need)")
     print(json.dumps({"quantiles": {str(q): int(np.quantile(counts, q)) for q in qs},
                       "total_pairs_per_img":
                       float(total / (args.batches * cfg.model.batch_size))}))

@@ -234,3 +234,15 @@ def test_budget_theta_and_chunk_maps():
 def test_cdiv_arr():
     x = jnp.asarray([0, 1, 8, 9, 16], jnp.int32)
     np.testing.assert_array_equal(np.asarray(_cdiv_arr(x, 8)), [0, 1, 1, 2, 2])
+
+
+def test_ragged_ts32_matches_cascade():
+    """tile_size=32 (pxr=8) — the TPU production tile shape."""
+    cam, arrays = make_scene(n=80, seed=12)
+    arrays = tuple(arrays)
+    base32 = BASE._replace(tile_size=32)
+    img_c, ov_c = _render_views(cam, arrays, base32)
+    img_r, ov_r = _render_views(cam, arrays, base32._replace(
+        ragged=True, ragged_chunk=32))
+    np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_c))
+    assert int(ov_r) == int(ov_c)
