@@ -56,6 +56,21 @@ def main(argv=None):
 
         override = autotune_raster(inf, H, W, batch_from_item(item0, fix_inp))
         print(f"auto_cascade tiers: {override.tiers}")
+    counts_probe = None
+    if getattr(cfg.raster, "ragged_eval", 0):
+        # probe-then-render: each batch's saturation depths become exact
+        # per-tile ragged capacities — every contributing pair blends (the
+        # uncapped CUDA rasterizer's coverage) at minimum slab cost
+        from gaussianavatar_tpu.engine.inference import (
+            PROBE_CAPACITY, make_counts_fn,
+        )
+        from gaussianavatar_tpu.engine.loop import raster_config
+
+        base_rcfg = override if override is not None else raster_config(cfg)
+        override = base_rcfg._replace(ragged=True, tiers=())
+        counts_probe = make_counts_fn(inf.bundle, H, W, override,
+                                      probe_capacity=PROBE_CAPACITY)
+        print("ragged eval: per-batch saturation probe -> exact per-tile caps")
     render = make_renderer(inf, H, W, with_overflow=True, raster_override=override)
     lpips_fn = try_load_lpips(cfg.model.project_path)
 
@@ -75,6 +90,9 @@ def main(argv=None):
         items = [test_ds[i] for i in idxs + pad]
         singles = [batch_from_item(it, fix_inp) for it in items]
         batch = {k: np.concatenate([s[k] for s in singles]) for k in singles[0]}
+        if counts_probe is not None:
+            _, needed = counts_probe(inf.state.params, inf.state.batch_stats, batch)
+            batch["tile_caps"] = np.asarray(needed).reshape(EVAL_B, -1)
         imgs, overflow = render(inf.state.params, inf.state.batch_stats, batch)
         imgs = np.clip(np.asarray(imgs), 0.0, 1.0)
         total_overflow += int(overflow)
@@ -106,6 +124,12 @@ def main(argv=None):
     # cascade across the whole split (0 = these numbers are truncation-free;
     # the CUDA reference is uncapped, gaussian_renderer/__init__.py:40-48)
     lines.append(f"raster_overflow: {total_overflow}")
+    if counts_probe is not None:
+        # with probe-exact ragged caps every DROPPED pair sits at ranks the
+        # blend's early termination never reaches: overflow here counts
+        # saturated-transmittance pairs, not lost contributions
+        lines.append("raster_overflow_note: ragged_eval caps = probe-exact "
+                     "saturation depths (dropped pairs are non-contributing)")
     report = "\n".join(lines)
     with open(join(out_dir, "results.txt"), "w") as f:
         f.write(report + "\n")

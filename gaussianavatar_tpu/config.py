@@ -187,6 +187,11 @@ class RasterParams:
     # evolving between save-boundary retunes; gradients only flow through
     # blended ranks). Rows scale with it: 1.5 costs ~50% over exact need
     ragged_margin: float = 1.5
+    # 1 = eval.py probes each eval batch's saturation depths and renders
+    # ragged with caps = exactly those depths: CUDA-exact coverage (every
+    # contributing pair blended) at the minimum possible slab cost. The
+    # probe doubles eval render work — eval is offline, exactness wins
+    ragged_eval: int = 0
 
 
 def _add_group(parser: ArgumentParser, cls, name: str, shorthands: dict):

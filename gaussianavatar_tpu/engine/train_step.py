@@ -281,6 +281,8 @@ def make_render_fn(
             world, shs, scales3, rotations, opacity,
             batch["world_view_transform"], batch["full_proj_transform"],
             batch["tan_fovx"], batch["tan_fovy"],
+            caps=(batch["tile_caps"].reshape(-1)
+                  if "tile_caps" in batch else None),
         )
         return out if with_overflow else out[0]
 
@@ -353,6 +355,8 @@ def make_cached_render_fn(
             world, shs_b, scales3, rotations, opacity,
             batch["world_view_transform"], batch["full_proj_transform"],
             batch["tan_fovx"], batch["tan_fovy"],
+            caps=(batch["tile_caps"].reshape(-1)
+                  if "tile_caps" in batch else None),
         )
         return out if with_overflow else out[0]
 

@@ -221,3 +221,33 @@ def test_train_ragged_matches_cascade_first_step(dataset, tmp_path):
     ragg = one_step(["--ragged", "1", "--ragged_chunk", "16"], "ragged_exact")
     assert abs(base["total"] - ragg["total"]) < 1e-6, (base, ragg)
     assert base["raster_overflow"] == ragg["raster_overflow"]
+
+
+def test_ragged_eval_matches_cascade_eval(dataset, tmp_path, capsys):
+    """--ragged_eval 1 probes each eval batch and renders with exact
+    per-tile caps; PSNR must match a deep-capacity cascade eval (the probe
+    caps reproduce exactly what early termination blends)."""
+    import train as train_cli
+
+    out = str(tmp_path / "out_re")
+    args = [a if a != "xla" else "pallas_interpret" for a in SMALL_ARGS]
+    args = [a if a != "256" else "2048" for a in args]  # deep = exact here
+    train_cli.main(
+        ["-s", dataset, "-m", out, *args,
+         "--epochs", "1", "--save_epochs", "0", "--max_steps", "2",
+         "--no_lpips"]
+    )
+
+    import eval as eval_cli
+
+    eval_cli.main(["-m", out])
+    deep = open(join(out, "test_free", "results.txt")).read()
+    eval_cli.main(["-m", out, "--ragged_eval", "1"])
+    ragged = open(join(out, "test_free", "results.txt")).read()
+    assert "ragged eval" in capsys.readouterr().out
+    assert "non-contributing" in ragged
+    p_deep = float(deep.split("psnr:")[1].split()[0])
+    p_rag = float(ragged.split("psnr:")[1].split()[0])
+    # probe-exact caps blend the same pairs the deep render's early
+    # termination accepts -> metrics agree to float noise
+    assert abs(p_deep - p_rag) < 1e-3, (p_deep, p_rag)
