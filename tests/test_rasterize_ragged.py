@@ -246,3 +246,96 @@ def test_ragged_ts32_matches_cascade():
         ragged=True, ragged_chunk=32))
     np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_c))
     assert int(ov_r) == int(ov_c)
+
+
+def test_ragged_nonmultiple_image_size():
+    """Non-tile-multiple image sizes render via padding+crop on the ragged
+    path too, matching the brute-force semantics reference."""
+    from gaussianavatar_tpu.ops.camera import Camera
+    from gaussianavatar_tpu.ops.projection import project_gaussians
+    from gaussianavatar_tpu.ops.rasterize import rasterize
+    from gaussianavatar_tpu.ops.rasterize_ref import rasterize_brute
+
+    h, w = 50, 70
+    rng = np.random.default_rng(6)
+    K = np.array([[60.0, 0, w / 2], [0, 60.0, h / 2], [0, 0, 1]], np.float32)
+    cam = Camera.from_extrinsics(np.eye(3, dtype=np.float32),
+                                 np.array([0, 0, 2.0], np.float32), K, h, w)
+    n = 20
+    means = jnp.asarray(rng.normal(scale=0.3, size=(n, 3)).astype(np.float32))
+    scales = jnp.full((n, 3), 0.05)
+    q = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n, 1))
+    opac = jnp.full((n,), 0.25)
+    colors = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+    bg = jnp.zeros(3)
+    cfg = RasterizeConfig(tile_size=16, tile_capacity=64,
+                          max_tiles_per_gaussian=16,
+                          backend="pallas_interpret", ragged=True,
+                          ragged_chunk=16)
+    img = rasterize(means, colors, scales, q, opac, cam, bg, config=cfg)
+    assert img.shape == (3, h, w)
+    proj = project_gaussians(
+        means, scales, q, cam.world_view_transform, cam.full_proj_transform,
+        cam.tan_fovx, cam.tan_fovy, h, w,
+    )
+    ref = rasterize_brute(proj, colors, opac, bg, h, w)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-5)
+
+
+def test_ragged_fuzz_vs_xla_twin():
+    """Random scenes x random (CB, budget, caps) vs the XLA-blend cascade at
+    matching per-tile coverage: the waterfilled ragged render must equal a
+    per-tile-capped XLA reference built from the same binning."""
+    from gaussianavatar_tpu.ops.projection import project_gaussians
+    from gaussianavatar_tpu.ops.rasterize_ragged import (
+        rasterize_views_ragged, _budget_theta,
+    )
+    from gaussianavatar_tpu.ops.rasterize_tile import (
+        _bin_gaussians, _gather_tile_params, _blend_xla, _untile,
+    )
+
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        cam, arrays = make_scene(n=int(rng.integers(5, 60)), seed=200 + seed,
+                                 h=48, w=48)
+        means, scales, q, opac, colors, bg = tuple(arrays)
+        B = 1
+        projs = jax.vmap(
+            lambda m: project_gaussians(
+                m, scales, q, cam.world_view_transform,
+                cam.full_proj_transform, cam.tan_fovx, cam.tan_fovy, 48, 48)
+        )(means[None])
+        ctx = _bin_gaussians(projs, colors[None], opac[None], 48, 48, 16, 4, 4)
+        counts = np.asarray(ctx.full_counts)
+        G = counts.size
+        CB = int(rng.choice([8, 16, 32]))
+        budget = int(rng.integers(4, 40))
+        cfg = RasterizeConfig(tile_size=16, tile_capacity=64,
+                              max_tiles_per_gaussian=16,
+                              backend="pallas_interpret", ragged=True,
+                              ragged_chunk=CB, ragged_budget=budget)
+        img_r, ov_r = rasterize_views_ragged(
+            projs, colors[None], opac[None], bg, 48, 48, cfg)
+
+        # reproduce caps on host, then build the XLA reference with per-tile
+        # rows zeroed past each tile's cap
+        C = -(-(G * budget) // CB)
+        C = -(-C // 256) * 256 if C >= 256 else -(-C // 8) * 8
+        theta = int(_budget_theta(jnp.asarray(counts), CB, C))
+        caps = np.minimum(counts, theta)
+        Kmax = max(8, int(-(-caps.max() // 8) * 8)) if caps.max() else 8
+        params, cnts = _gather_tile_params(
+            ctx, jnp.arange(G, dtype=jnp.int32), 0, Kmax)
+        mask = (np.arange(Kmax)[None, :] < caps[:, None])
+        params = params * jnp.asarray(mask[..., None], params.dtype)
+        premult, finalT, _, _ = _blend_xla(params, jnp.arange(G) % G, 3, 16)
+        pxr = 16 * 16 // 128
+        col = premult.transpose(0, 2, 1).reshape(1, G, 3, pxr, 128)
+        fT = finalT.reshape(1, G, 1, pxr, 128)
+        untile = lambda x: _untile(x, 3, 3, 16, 48, 48)
+        img_ref = jax.vmap(untile)(col) + jax.vmap(untile)(fT)[:, 0][:, None] \
+            * jnp.asarray(bg)[None, :, None, None]
+        np.testing.assert_allclose(np.asarray(img_r), np.asarray(img_ref),
+                                   atol=2e-5, err_msg=f"seed {seed}")
+        ov_exp = int((counts - caps).sum()) + int(ctx.m_dropped)
+        assert int(ov_r) == ov_exp, (seed, int(ov_r), ov_exp)
