@@ -210,6 +210,13 @@ def train(
     tune_now = None
     need_bank = None  # (F, T) int32 per-frame per-tile needed depths (ragged)
     build_need_bank = budget_for = None
+    if (getattr(rcfg_train, "ragged", False)
+            and not getattr(cfg.raster, "auto_cascade", 0)
+            and not getattr(rcfg_train, "ragged_budget", 0)):
+        print("WARNING: --ragged without --auto_cascade or --ragged_budget "
+              "sizes the chunk grid for the worst case (every binned pair); "
+              "at production scale pair --ragged 1 with --auto_cascade 1 "
+              "(per-frame need table) or set --ragged_budget")
     if getattr(cfg.raster, "auto_cascade", 0):
         from gaussianavatar_tpu.engine.inference import (
             PROBE_CAPACITY, make_counts_fn,
