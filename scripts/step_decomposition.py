@@ -36,6 +36,11 @@ def main():
                     help="differentiate a scalar loss through the pipeline "
                          "(train-step shape: includes the blend backward)")
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--query", type=int, default=384,
+                    help="avatar query resolution on the synthetic atlas: "
+                         "384 ~= 115k gaussians (the reference 512-atlas "
+                         "count); 512 ~= the canonical-campaign shape "
+                         "(~205k); scale as (q/384)^2")
     ap.add_argument("--rounds", type=int, default=25)
     ap.add_argument("--stable", type=int, default=None,
                     help="override sort stability (default: grad->1, fwd->0)")
@@ -96,7 +101,7 @@ def main():
     assets = build_avatar_assets(
         model, uv.verts, uv.uvs, uv.faces_v, uv.faces_vt,
         np.zeros(J * 3, np.float32), np.zeros(4, np.float32),
-        query_res=384, pad_to=256,
+        query_res=args.query, pad_to=256,
     )
     Km = np.array([[560.0 * H / 512, 0, W / 2], [0, 560.0 * H / 512, H / 2],
                    [0, 0, 1]], np.float32)
