@@ -489,9 +489,18 @@ def train(
             if need_bank is not None:
                 need_bank = build_need_bank(state)
                 newb = budget_for(need_bank)
-                # caps are data (no recompile); only a budget GROWTH needs a
-                # larger grid — shrinks keep the compiled program
-                if newb > rcfg_train.ragged_budget:
+                # caps are data (no recompile); a budget CHANGE rebuilds the
+                # compiled step. Growth applies immediately (correctness
+                # headroom); shrink only past a 10% hysteresis so converged-
+                # need jitter doesn't thrash recompiles. Shrinks matter: the
+                # epoch-1 retune sizes the grid for the transparency-deep
+                # warm-up scene (1472 rows/tile at the canonical campaign vs
+                # ~700 converged need), and holding that grid pays ~2x the
+                # necessary gather/blend/grad rows every step for the other
+                # 199 epochs; one recompile per save boundary is amortized
+                # by the persistent XLA cache (BASELINE.md round-4).
+                if newb > rcfg_train.ragged_budget or newb < int(
+                        rcfg_train.ragged_budget * 0.9):
                     rcfg_train = rcfg_train._replace(ragged_budget=newb)
                     logger.log_event("ragged_rebudget", str(newb))
                     print(f"ragged need table (epoch-{epoch} retune): "

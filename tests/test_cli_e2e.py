@@ -251,3 +251,53 @@ def test_ragged_eval_matches_cascade_eval(dataset, tmp_path, capsys):
     # probe-exact caps blend the same pairs the deep render's early
     # termination accepts -> metrics agree to float noise
     assert abs(p_deep - p_rag) < 1e-3, (p_deep, p_rag)
+
+
+def test_ragged_budget_shrinks_on_retune(dataset, tmp_path, monkeypatch):
+    """A save-boundary retune whose need table DROPPED must shrink the
+    ragged chunk budget (and rebuild the step), not just grow it: holding
+    the epoch-1 warm-up budget for the whole run paid ~2x the necessary
+    gather/blend/grad rows at the canonical campaign (1472 rows/tile held
+    against a ~700 converged need — BASELINE.md round-4). Jitter within the
+    10% hysteresis must NOT rebudget (recompile thrash)."""
+    import train as train_cli
+    from gaussianavatar_tpu.engine import inference as inf
+
+    n_tiles = (64 // 16) ** 2  # image 64^2, tile_size 16
+    calls = {"n": 0}
+    # 6 frames / batch 2 -> 3 probe feeds per need-bank build. Builds:
+    # initial + epoch-1 retune see a DEEP scene (need 160/tile); the
+    # epoch-2 and epoch-3 retunes see a converged shallow one (16/tile).
+    # Expected: one shrink event at epoch 2, silence at epoch 3 (equal
+    # budget falls inside the hysteresis).
+    def fake_make_counts_fn(bundle, H, W, rcfg, probe_capacity=0):
+        def counts(params, batch_stats, feed):
+            B = int(np.asarray(feed["pose_idx"]).shape[0])
+            need = 160 if calls["n"] < 6 else 16
+            calls["n"] += 1
+            full = np.full((B * n_tiles,), 512, np.int32)
+            return full, np.full((B * n_tiles,), need, np.int32)
+
+        return counts
+
+    monkeypatch.setattr(inf, "make_counts_fn", fake_make_counts_fn)
+
+    out = str(tmp_path / "out_shrink")
+    train_cli.main(
+        ["-s", dataset, "-m", out, *SMALL_ARGS,
+         "--epochs", "3", "--save_epoch", "1", "--save_epochs", "0",
+         "--ragged", "1", "--ragged_chunk", "16", "--auto_cascade", "1",
+         "--no_lpips"]
+    )
+    with open(join(out, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    bank = [r["value"] for r in rows if r.get("event") == "ragged_need_bank"]
+    rebudgets = [int(r["value"]) for r in rows
+                 if r.get("event") == "ragged_rebudget"]
+    assert bank, rows
+    init_budget = int(bank[0].split("budget ")[1].split()[0])
+    assert len(rebudgets) == 1, (init_budget, rebudgets)
+    assert rebudgets[0] < init_budget, (init_budget, rebudgets)
+    # training continued on the shrunk grid: epoch-3 steps logged finite
+    losses = [r["total"] for r in rows if "total" in r]
+    assert losses and np.isfinite(losses[-1])
