@@ -471,16 +471,19 @@ def rasterize_views_ragged(
     caps_eff = jnp.minimum(caps_raw, theta)
     ct, k0, last = _chunk_maps(caps_eff, CB, C)
 
-    # one aligned gather into chunk-stream order: (C*CB, 16)
+    # one aligned gather into chunk-stream order: (C*CB, 16). No validity
+    # masking here: rows past a tile's cap (chunk tail) or in padding chunks
+    # carry a NEIGHBORING segment's params, but the kernels gate every such
+    # row off with `k < count` (fwd `ok`, bwd `m` — grads for gated rows are
+    # exactly zero), and segments themselves contain only valid entries
+    # (invalid slots key to int32max, past every tile boundary). Masking
+    # again in XLA would add a (C*CB,) bool build + a 64 MB-scale
+    # elementwise pass for bit-identical results
+    # (tests/test_rasterize_ragged.py locks this against the cascade path).
     L = ctx.sorted_vals.shape[0]
-    k0_rows = jnp.repeat(k0, CB)
-    k_row = k0_rows + (jnp.arange(C * CB, dtype=jnp.int32) % CB)
-    tile_rows = jnp.repeat(ct, CB)
-    valid = (k0_rows >= 0) & (k_row < caps_eff[tile_rows])
-    src = jnp.clip(ctx.offsets[tile_rows] + k_row, 0, L - 1)
-    ids = jnp.where(valid, ctx.sorted_vals[src], 0)
-    table = (ctx.packed[ids] * valid[:, None].astype(ctx.packed.dtype)
-             ).reshape(C, CB, 16)
+    k_row = jnp.repeat(k0, CB) + (jnp.arange(C * CB, dtype=jnp.int32) % CB)
+    src = jnp.clip(ctx.offsets[jnp.repeat(ct, CB)] + k_row, 0, L - 1)
+    table = ctx.packed[ctx.sorted_vals[src]].reshape(C, CB, 16)
 
     tloc = (jnp.arange(G, dtype=jnp.int32) % n_tiles).astype(jnp.int32)
 

@@ -207,16 +207,14 @@ def main():
                 table = jnp.broadcast_to(
                     ctx.packed[:CB][None], (C, CB, 16)) + s
             else:
+                # mirrors rasterize_ragged's production gather (kernels gate
+                # out-of-cap rows with k < count; no XLA-side mask)
                 L = ctx.sorted_vals.shape[0]
-                k0_rows = jnp.repeat(k0, CB)
-                k_row = k0_rows + (jnp.arange(C * CB, dtype=jnp.int32) % CB)
-                tile_rows = jnp.repeat(ct, CB)
-                vmask = (k0_rows >= 0) & (k_row < caps_eff[tile_rows])
-                src = jnp.clip(ctx.offsets[tile_rows] + k_row, 0, L - 1)
-                ids = jnp.where(vmask, ctx.sorted_vals[src], 0)
-                table = (ctx.packed[ids]
-                         * vmask[:, None].astype(ctx.packed.dtype)
-                         ).reshape(C, CB, 16)
+                k_row = (jnp.repeat(k0, CB)
+                         + (jnp.arange(C * CB, dtype=jnp.int32) % CB))
+                src = jnp.clip(ctx.offsets[jnp.repeat(ct, CB)] + k_row,
+                               0, L - 1)
+                table = ctx.packed[ctx.sorted_vals[src]].reshape(C, CB, 16)
             if skip == "blend":
                 color_t = jnp.mean(table) + jnp.zeros((G, 3, pxr, 128))
                 fT = jnp.zeros((G, pxr, 128))
