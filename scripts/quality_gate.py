@@ -4,9 +4,14 @@ Runs the full user journey on the hermetic synthetic dataset (the stand-in
 for People Snapshot, which needs registration + licensed SMPL files) and
 asserts regression gates:
 
-  1. stage-1 train to convergence -> eval: held-out PSNR >= gate (default 25)
+  1. stage-1 train to convergence -> eval: held-out PSNR >= gate (defaults
+     sized to the measured campaigns minus their noise: 41/41.5 single/tail
+     at 512-query vs measured 43.2/42.98, 30/30 at the 256 fast gate vs
+     measured ~31.9 — loose-universal-floor gates could not catch even a
+     10 dB regression; BASELINE.md round-4)
   2. (--stage2) export poses -> per-frame posmaps -> stage-2 train -> eval:
-     PSNR within 1 dB of stage 1
+     PSNR within 1.0 dB of stage 1 at the canonical workload (measured
+     0.11 dB below), 1.5 dB at the 256 fast gate
   3. (--pose_opt) frozen-net pose recovery: perturb the converged model's
      pose embeddings, run SparseAdam-only photometric refinement, require
      most of the photometric damage recovered without pose drift
@@ -89,12 +94,20 @@ def main():
                          "fast gate 256/64")
     ap.add_argument("--n_train", type=int, default=48)
     ap.add_argument("--n_test", type=int, default=8)
-    ap.add_argument("--gate_psnr", type=float, default=25.0)
-    ap.add_argument("--gate_avg_psnr", type=float, default=28.0,
+    ap.add_argument("--gate_psnr", type=float, default=None,
+                    help="single-endpoint gate; default is workload-sized "
+                         "to the measured results minus the measured noise "
+                         "(512-query: 41 vs measured 43.2 +/- ~1 dB chaos; "
+                         "256-query: 30 vs measured 31.9-32.5) so a 2 dB "
+                         "regression FAILS instead of hiding under a loose "
+                         "universal floor")
+    ap.add_argument("--gate_avg_psnr", type=float, default=None,
                     help="gate for the MEAN eval PSNR over the last-K saved "
                          "checkpoints — tighter than the single-save gate "
                          "because averaging K evals shrinks the ±1 dB "
-                         "endpoint chaos ~sqrt(K)")
+                         "endpoint chaos ~sqrt(K). Default 41.5 at 512-query "
+                         "(measured tail-mean 42.98, spread 0.51 dB) / 30 at "
+                         "256 (measured ~31)")
     ap.add_argument("--stage2", action="store_true")
     ap.add_argument("--pose_opt", action="store_true")
     ap.add_argument("--pose_lr", type=float, default=2e-2,
@@ -109,6 +122,13 @@ def main():
                          "bare 'name' — e.g. --train_flag sort_stable=0 for "
                          "the unstable-binning-sort quality experiment")
     args = ap.parse_args()
+    # workload-sized default gates (see the flag help; BASELINE.md round-4
+    # records the measurements they are derived from)
+    canonical = args.query >= 512
+    if args.gate_psnr is None:
+        args.gate_psnr = 41.0 if canonical else 30.0
+    if args.gate_avg_psnr is None:
+        args.gate_avg_psnr = 41.5 if canonical else 30.0
 
     work = args.work
     data = join(work, "data")
@@ -253,11 +273,15 @@ def main():
         if not os.path.exists(join(out2, "test_free", "results.txt")):
             sh(["eval.py", "-m", out2])
         p2, s2 = read_psnr(out2)
-        # 1.5 dB margin: stage 2 trains half-length here, and the stage-1
-        # checkpoint curve itself swings ~2 dB between checkpoints (measured
-        # 28.8 -> 30.6 -> 26.1 -> 32.5), so a 1.0 dB gate flakes on noise
+        # margin by workload: at the canonical 512-query workload stage 2
+        # measured 0.11 dB below stage 1 (43.12 vs 43.23, round 4) — a
+        # 1.0 dB gate catches a real regression with ~0.9 dB of headroom.
+        # The 256 fast gate keeps 1.5 dB: its half-length stage-2 measured
+        # 0.93 dB below stage 1 (round 2) and its checkpoint curve swings
+        # ~2 dB, so 1.0 dB would flake on noise there.
+        margin = 1.0 if canonical else 1.5
         summary["gates"]["stage2_psnr"] = {
-            "value": p2, "gate": final_psnr - 1.5, "pass": p2 >= final_psnr - 1.5
+            "value": p2, "gate": final_psnr - margin, "pass": p2 >= final_psnr - margin
         }
 
     if args.pose_opt:
