@@ -193,6 +193,77 @@ def main():
     jax.block_until_ready(terms["total"])
     train_ips = n_steps / (time.time() - t0)
 
+    # ---- extra 3: CANONICAL-workload train throughput under the ADOPTED
+    # ragged config — the configuration behind the headline 43.2-PSNR
+    # campaign (BASELINE.md round-4). query_res=512 on the synthetic atlas
+    # reproduces the reference's canonical 512^2-query gaussian count
+    # (~205k, arguments/__init__.py:87); the ragged budget is pinned to the
+    # campaign's measured converged need (684 rows/tile mean, CB=128 —
+    # BASELINE.md round-3 need-table table), waterfill-clipped from true
+    # counts exactly as the A/B rows were. The fast-cascade number above is
+    # the ≤256-query-workload rate; THIS is the canonical-workload rate.
+    assets_c = build_avatar_assets(
+        model, uv.verts, uv.uvs, uv.faces_v, uv.faces_vt,
+        np.zeros(J * 3, np.float32), np.zeros(4, np.float32),
+        query_res=512, pad_to=256,
+    )
+    raster_cfg_c = RasterizeConfig(
+        tile_size=32, tile_capacity=128, max_tiles_per_gaussian=9,
+        ragged=True, ragged_chunk=128, ragged_budget=684,
+    )
+    state_c = init_state(net, assets_c, _TX0(), batch_size=Bt)
+    tx_c = build_optimizer(state_c.params, opt, steps_per_epoch=NF // Bt, train_stage=1)
+    state_c = state_c.replace(opt_state=tx_c.init(state_c.params))
+    step_c = make_train_step(
+        net, model, assets_c, tx_c, opt, H, W, (1.0, 1.0, 1.0), raster_cfg_c,
+        train_stage=1,
+    )
+    state_c, terms, _ = step_c(state_c, feeds[0], ones, ones * 0, ones * 0)
+    jax.block_until_ready(terms["total"])
+    t0 = time.time()
+    for i in range(n_steps):
+        state_c, terms, _ = step_c(state_c, feeds[i % 8], ones, ones * 0, ones * 0)
+    jax.block_until_ready(terms["total"])
+    train_ips_c = n_steps / (time.time() - t0)
+
+    # ---- roofline accounting: XLA cost analysis of the compiled programs
+    # (flops + operand bytes on the post-fusion HLO) against v5e peaks —
+    # 197 TFLOP/s bf16 MXU, 819 GB/s HBM. "Is N FPS good?" has a physical
+    # answer only as a fraction of the binding resource; this splatting
+    # workload is expected bandwidth/issue-bound, not FLOP-bound. Bytes are
+    # the HLO estimate of HBM traffic (post-fusion operand bytes), not a
+    # hardware counter read.
+    V5E_PEAK_BF16 = 197e12
+    V5E_HBM = 819e9
+
+    def roofline(lowered_compiled, wall_s):
+        try:
+            ca = lowered_compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            fl = float(ca.get("flops", 0.0))
+            by = float(ca.get("bytes accessed", 0.0))
+        except Exception:
+            return {}
+        return {
+            "tflops_per_s": round(fl / wall_s / 1e12, 3),
+            "hbm_gbps": round(by / wall_s / 1e9, 1),
+            "flop_util_vs_bf16_peak": round(fl / wall_s / V5E_PEAK_BF16, 4),
+            "hbm_util": round(by / wall_s / V5E_HBM, 3),
+        }
+
+    rl_render = roofline(
+        render.lower(cache, state.params, batch_for(0), it).compile(), 1.0 / fps * B
+    )
+    rl_train = roofline(
+        step.lower(state_t, feeds[0], ones, ones * 0, ones * 0).compile(),
+        1.0 / train_ips,
+    )
+    rl_train_c = roofline(
+        step_c.lower(state_c, feeds[0], ones, ones * 0, ones * 0).compile(),
+        1.0 / train_ips_c,
+    )
+
     print(
         json.dumps(
             {
@@ -208,6 +279,17 @@ def main():
                 "train_vs_a100_est_range": [
                     round(train_ips / 25.0, 2), round(train_ips / 10.0, 2)
                 ],
+                # canonical 512^2-query workload, adopted ragged config (the
+                # one the 43.2-PSNR campaign trains with) — the honest
+                # throughput for target #1; the fast-cascade number above is
+                # quality-broken at this workload (BASELINE.md round-4)
+                "stage1_train_it_per_sec_canonical": round(train_ips_c, 2),
+                "train_canonical_vs_a100_est_range": [
+                    round(train_ips_c / 25.0, 2), round(train_ips_c / 10.0, 2)
+                ],
+                "render_roofline": rl_render,
+                "train_roofline": rl_train,
+                "train_canonical_roofline": rl_train_c,
                 "render_overflow": overflow,
             }
         )

@@ -102,6 +102,23 @@ def main():
         jnp.zeros((N, 16), jnp.float32).at[i].add(grad_rows) @ w_r),
         ids_sorted)
 
+    # 4b. row scatter-add with UNIQUE indices: the ragged grad reduction can
+    #     construct collision-free indices (gaussian id x footprint slot is
+    #     unique per stream row, padding rows get their own dump rows) — is
+    #     the unique path materially faster than the colliding one?
+    uniq_np = [rng.choice(N * 9 + R, size=R, replace=False).astype(np.int32)
+               for _ in range(variants)]
+    uniq = [jnp.asarray(a) for a in uniq_np]
+    timed("row_scatter_add_unique", lambda i: jnp.sum(
+        jnp.zeros((N * 9 + R, 16), jnp.float32).at[i].add(
+            grad_rows, unique_indices=True) @ w_r), uniq)
+    # the same including the (N,9,16)->(N,16) slot reduction the real
+    # gradient needs afterwards
+    timed("row_scatter_unique_reduce", lambda i: jnp.sum(
+        jnp.sum(jnp.zeros((N * 9 + R, 16), jnp.float32).at[i].add(
+            grad_rows, unique_indices=True)[: N * 9].reshape(N, 9, 16),
+            axis=1) @ w_r), uniq)
+
     # 5. scalar scatter (set): the cost of materializing a sort's inverse
     #    permutation, if a gather-based grad reduction ever wanted one
     timed("scalar_scatter_set", lambda p: jnp.sum(
