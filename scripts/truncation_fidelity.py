@@ -66,7 +66,9 @@ def main(argv=None):
     H, W = int(item0["height"]), int(item0["width"])
     fix_inp = load_fixed_inp(cfg)
 
-    def render_split(render):
+    max_need = {"v": 0}
+
+    def render_split(render, counts_probe=None):
         EVAL_B = 4
         outs, overflow = [], 0
         n = len(test_ds)
@@ -76,6 +78,11 @@ def main(argv=None):
             items = [test_ds[i] for i in idxs + pad]
             singles = [batch_from_item(it, fix_inp) for it in items]
             batch = {k: np.concatenate([s[k] for s in singles]) for k in singles[0]}
+            if counts_probe is not None:
+                _, needed = counts_probe(inf.state.params, inf.state.batch_stats, batch)
+                needed = np.asarray(needed)
+                max_need["v"] = max(max_need["v"], int(needed.max()))
+                batch["tile_caps"] = needed.reshape(EVAL_B, -1)
             imgs, ov = render(inf.state.params, inf.state.batch_stats, batch)
             overflow += int(ov)
             imgs = np.clip(np.asarray(imgs), 0.0, 1.0)
@@ -97,9 +104,33 @@ def main(argv=None):
     render_fast = make_renderer(inf, H, W, with_overflow=True)
     fast_imgs, fast_overflow = render_split(render_fast)
 
-    # pass 3: deep single tier — "uncapped" when its overflow comes back 0
+    # pass 3: the ADOPTED eval profiles. The fixed tiers above are only the
+    # config the checkpoint happened to be saved with — at the canonical
+    # 512-query workload that swept cascade is known quality-broken (round 3:
+    # ~89% of contributing pairs dropped), so the fidelity question that
+    # matters is about the configs eval.py actually runs:
+    #   (a) --auto_cascade: saturation-probe-sized tiers;
+    #   (b) --ragged_eval: probe-exact per-tile ragged caps.
+    from gaussianavatar_tpu.engine.inference import (
+        PROBE_CAPACITY, autotune_raster, make_counts_fn,
+    )
+    from gaussianavatar_tpu.engine.loop import raster_config
+
     cfg.raster.render_max_tiles_per_gaussian = 9
     cfg.raster.render_sort_stable = 1
+    auto_rcfg = autotune_raster(inf, H, W, batch_from_item(item0, fix_inp))
+    render_auto = make_renderer(inf, H, W, with_overflow=True,
+                                raster_override=auto_rcfg)
+    auto_imgs, auto_overflow = render_split(render_auto)
+
+    ragged_rcfg = auto_rcfg._replace(ragged=True, tiers=())
+    probe = make_counts_fn(inf.bundle, H, W, ragged_rcfg,
+                           probe_capacity=PROBE_CAPACITY)
+    render_ragged = make_renderer(inf, H, W, with_overflow=True,
+                                  raster_override=ragged_rcfg)
+    ragged_imgs, ragged_overflow = render_split(render_ragged, counts_probe=probe)
+
+    # pass 4: deep single tier — "uncapped" when its overflow comes back 0
     cfg.raster.tile_capacity = int(args.deep_capacity)
     cfg.raster.tile_capacity_hi = 0
     render_deep = make_renderer(inf, H, W, with_overflow=True)
@@ -125,6 +156,22 @@ def main(argv=None):
             "overflow": fast_overflow,
             "psnr_vs_gt": mean_psnr(fast_imgs, gts),
         },
+        "auto_cascade": {
+            "tiers": [list(map(float, t)) for t in auto_rcfg.tiers],
+            "overflow": auto_overflow,
+            "psnr_vs_gt": mean_psnr(auto_imgs, gts),
+        },
+        "ragged_eval": {
+            "profile": "probe-exact per-tile saturation caps",
+            "overflow": ragged_overflow,
+            "psnr_vs_gt": mean_psnr(ragged_imgs, gts),
+            # max needed blend depth over the whole split: when this sits
+            # BELOW deep_capacity, 1e-4 early termination fires before the
+            # deep cap in every tile, so any deeper capacity is bit-identical
+            # — "deep = uncapped" is then proven even with deep overflow > 0
+            # (the overflowed pairs rank past the termination point)
+            "max_needed_depth": max_need["v"],
+        },
         "deep": {
             "capacity": int(args.deep_capacity),
             "overflow": deep_overflow,
@@ -132,9 +179,11 @@ def main(argv=None):
         },
         "psnr_cascade_vs_deep": mean_psnr(cascade_imgs, deep_imgs),
         "psnr_fast_vs_deep": mean_psnr(fast_imgs, deep_imgs),
+        "psnr_auto_vs_deep": mean_psnr(auto_imgs, deep_imgs),
+        "psnr_ragged_vs_deep": mean_psnr(ragged_imgs, deep_imgs),
     }
     report["psnr_vs_gt_delta"] = abs(
-        report["cascade"]["psnr_vs_gt"] - report["deep"]["psnr_vs_gt"]
+        report["auto_cascade"]["psnr_vs_gt"] - report["deep"]["psnr_vs_gt"]
     )
     out_path = args.out or join(cfg.model.model_path, "truncation_fidelity.json")
     with open(out_path, "w") as f:

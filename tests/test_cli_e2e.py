@@ -301,3 +301,44 @@ def test_ragged_budget_shrinks_on_retune(dataset, tmp_path, monkeypatch):
     # training continued on the shrunk grid: epoch-3 steps logged finite
     losses = [r["total"] for r in rows if "total" in r]
     assert losses and np.isfinite(losses[-1])
+
+
+def test_truncation_fidelity_script(dataset, tmp_path):
+    """scripts/truncation_fidelity.py reports fidelity for BOTH adopted eval
+    profiles (auto-cascade tiers and probe-exact ragged caps) against the
+    deep 'uncapped' render — the parity target being the reference's
+    uncapped CUDA blend (gaussian_renderer/__init__.py:40-48). Probe-exact
+    caps blend every pair early termination accepts, so ragged-vs-deep must
+    sit at float-noise PSNR; deep overflow must be 0 (proves 'deep = exact'
+    on this scene)."""
+    import train as train_cli
+
+    out = str(tmp_path / "out_tf")
+    train_cli.main(
+        ["-s", dataset, "-m", out, *SMALL_ARGS,
+         "--epochs", "1", "--save_epoch", "1", "--save_epochs", "0",
+         "--max_steps", "4", "--no_lpips"]
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, join(repo, "scripts"))
+    import truncation_fidelity
+
+    report_path = str(tmp_path / "tf.json")
+    truncation_fidelity.main(
+        ["-m", out, "--epoch", "1", "--deep_capacity", "4096",
+         "--out", report_path]
+    )
+    with open(report_path) as f:
+        report = json.load(f)
+    # NB deep overflow is NOT asserted 0: it includes m_dropped (pairs cut
+    # by the M=9 footprint cap — capacity-independent, and large on this
+    # 4x4-tile scene). The exactness claim is the render agreement below.
+    for key in ("cascade", "fast", "auto_cascade", "ragged_eval", "deep"):
+        assert np.isfinite(report[key]["psnr_vs_gt"]), (key, report[key])
+    assert report["auto_cascade"]["tiers"], report["auto_cascade"]
+    assert 0 < report["ragged_eval"]["max_needed_depth"] <= 4096, report
+    # probe-exact ragged caps reproduce the deep blend to float noise
+    assert report["psnr_ragged_vs_deep"] > 55.0, report
+    # saturation-sized auto tiers may truncate only non-contributing tails
+    assert report["psnr_auto_vs_deep"] > 40.0, report
