@@ -187,6 +187,19 @@ class RasterParams:
     # evolving between save-boundary retunes; gradients only flow through
     # blended ranks). Rows scale with it: 1.5 costs ~50% over exact need
     ragged_margin: float = 1.5
+    # Adaptive TRAIN footprint (ragged + auto_cascade retunes only): shrink
+    # max_tiles_per_gaussian to the render profile's
+    # render_max_tiles_per_gaussian at a save-boundary retune once the
+    # probe measures the smaller cap would clip <= train_footprint_eps of
+    # the batch's binned pairs (grow back past 3x eps). Warm-up-scale
+    # gaussians span many tiles and need the wide footprint for full
+    # gradients; converged avatar gaussians are ~1cm and a 2x2 32px-tile
+    # footprint clips nothing — while cutting the binning key count 2.25x
+    # (measured: 95.2 -> 84.3 ms raster fwd+bwd at the converged canonical
+    # workload, BASELINE.md round-4). Any clipped pair still lands in the
+    # reported overflow.
+    train_footprint_adapt: int = 1
+    train_footprint_eps: float = 1e-3
     # 1 = eval.py probes each eval batch's saturation depths and renders
     # ragged with caps = exactly those depths: CUDA-exact coverage (every
     # contributing pair blended) at the minimum possible slab cost. The

@@ -82,7 +82,7 @@ def make_renderer(inf: InferenceBundle, height: int, width: int,
 
 
 def make_counts_fn(bundle: AvatarBundle, height: int, width: int, rcfg,
-                   probe_capacity: int = 0):
+                   probe_capacity: int = 0, cand_m: int = 0):
     """Jitted cascade-tuner probe: decode the avatar on a batch, run the
     binning, and return per-tile load histograms. With `probe_capacity=0`
     returns only the TRUE per-tile counts (BinContext.full_counts); with
@@ -91,13 +91,18 @@ def make_counts_fn(bundle: AvatarBundle, height: int, width: int, rcfg,
     — the depth at which CUDA-parity early termination stopped consuming
     gaussians, the histogram the tuner should size TRAIN/EVAL capacities
     from. `rcfg` supplies tile_size and max_tiles_per_gaussian, so the
-    probe sees the same pair enumeration the real render/train step will."""
+    probe sees the same pair enumeration the real render/train step will.
+
+    `cand_m > 0` appends (dropped_pairs, total_pairs) for a CANDIDATE
+    footprint cap of cand_m tiles/gaussian on the same batch — the
+    adaptive-footprint decision input (loop.py shrinks the train footprint
+    to the render profile once the cap would clip ~nothing)."""
     import jax
     import jax.numpy as jnp
 
     from gaussianavatar_tpu.ops.projection import project_gaussians
     from gaussianavatar_tpu.ops.rasterize_tile import (
-        _bin_gaussians, probe_tile_depths,
+        _bin_gaussians, footprint_drop, probe_tile_depths,
     )
     from gaussianavatar_tpu.engine.train_step import _forward_gaussians
 
@@ -123,11 +128,14 @@ def make_counts_fn(bundle: AvatarBundle, height: int, width: int, rcfg,
             )
         )(world, scales3, rotations, batch["world_view_transform"],
           batch["full_proj_transform"], batch["tan_fovx"], batch["tan_fovy"])
+        extra = ()
+        if cand_m > 0:
+            extra = footprint_drop(projs, opac, height, width, ts, cand_m)
         if probe_capacity > 0:
             return probe_tile_depths(projs, shs, opac, height, width, rcfg,
-                                     probe_capacity)
+                                     probe_capacity) + extra
         ctx = _bin_gaussians(projs, shs, opac, height, width, ts, MW, MW)
-        return ctx.full_counts
+        return (ctx.full_counts,) + extra if extra else ctx.full_counts
 
     return counts
 

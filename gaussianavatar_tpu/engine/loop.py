@@ -223,8 +223,21 @@ def train(
         )
         from gaussianavatar_tpu.ops.cascade import tune_tiers
 
-        counts_fn = make_counts_fn(bundle, H, W, rcfg_train,
-                                   probe_capacity=PROBE_CAPACITY)
+        # adaptive train footprint (ragged path): candidate M the probe
+        # also evaluates a clip count for — see RasterParams docstring
+        fp_full = int(rcfg_train.max_tiles_per_gaussian)
+        fp_target = int(getattr(cfg.raster, "render_max_tiles_per_gaussian", 0) or 0)
+        fp_adapt = (bool(getattr(cfg.raster, "train_footprint_adapt", 0))
+                    and getattr(rcfg_train, "ragged", False)
+                    and 0 < fp_target < fp_full)
+        fp_eps = float(getattr(cfg.raster, "train_footprint_eps", 1e-3))
+
+        def build_counts_fn(rc):
+            return make_counts_fn(bundle, H, W, rc,
+                                  probe_capacity=PROBE_CAPACITY,
+                                  cand_m=fp_target if fp_adapt else 0)
+
+        counts_fn = build_counts_fn(rcfg_train)
 
         def _probe_feed(pb):
             feed = {
@@ -261,22 +274,55 @@ def train(
                 pb = collate([bundle.train_dataset[int(k)] for k in idxs])
                 probe_feeds.append((idxs, _probe_feed(pb)))
 
-            def build_need_bank(st):
+            def build_need_bank(st, prev_caps=None):
+                """-> (need bank (F, T) int32, candidate-footprint clip
+                fraction over all train frames — None without fp_adapt).
+
+                With `prev_caps` (the caps table this retune replaces) it
+                also logs the measured NEED DRIFT: the fraction of
+                contributing pairs whose raw need outgrew the previous caps
+                during the window — i.e. what the margin failed to cover
+                (pairs actually dropped just before this retune), the
+                empirical justification for the ragged_margin value."""
                 nb = np.zeros((F, T_img), np.int32)
                 got = np.zeros(F, bool)
+                drop = tot = 0
                 for idxs, feed in probe_feeds:
-                    _, needed = counts_fn(st.params, st.batch_stats, feed)
-                    needed = np.asarray(needed).reshape(mp.batch_size, T_img)
+                    out = counts_fn(st.params, st.batch_stats, feed)
+                    needed = np.asarray(out[1]).reshape(mp.batch_size, T_img)
+                    if fp_adapt:
+                        drop += int(out[2])
+                        tot += int(out[3])
                     for row, k in zip(needed, idxs):
                         if not got[k]:
                             nb[k] = row
                             got[k] = True
+                if prev_caps is not None:
+                    exceed = int(np.maximum(
+                        nb.astype(np.int64) - prev_caps, 0).sum())
+                    drift = exceed / max(int(nb.sum()), 1)
+                    logger.log_event("ragged_drift", f"{drift:.2e}")
+                    print(f"ragged need drift since last retune: {drift:.2e} "
+                          f"of contributing pairs outgrew the caps")
                 # margin: saturation evolves between retunes and gradients
                 # flow only through blended ranks (ragged_margin knob)
                 m = float(getattr(cfg.raster, "ragged_margin", 1.5) or 1.5)
-                return np.minimum(
+                nb = np.minimum(
                     np.ceil(nb * m).astype(np.int64), PROBE_CAPACITY
                 ).astype(np.int32)
+                return nb, (drop / max(tot, 1) if fp_adapt else None)
+
+            def footprint_for(frac, cur_m):
+                """Hysteresis M decision: shrink to the render footprint
+                when the measured clip fraction is negligible, widen back
+                past 3x the threshold (scene grew between retunes)."""
+                if frac is None:
+                    return cur_m
+                if cur_m > fp_target and frac <= fp_eps:
+                    return fp_target
+                if cur_m < fp_full and frac >= 3.0 * fp_eps:
+                    return fp_full
+                return cur_m
 
             def budget_for(nb):
                 # static chunk budget: the worst batch is the B chunk-
@@ -287,14 +333,24 @@ def train(
                 C = -(-C // 256) * 256 if C >= 256 else -(-C // 8) * 8
                 return int(np.ceil(C * CBr / (mp.batch_size * T_img)))
 
-            need_bank = build_need_bank(state)
+            need_bank, fp_frac = build_need_bank(state)
+            new_m = footprint_for(fp_frac, rcfg_train.max_tiles_per_gaussian)
+            if new_m != rcfg_train.max_tiles_per_gaussian:
+                rcfg_train = rcfg_train._replace(max_tiles_per_gaussian=new_m)
+                counts_fn = build_counts_fn(rcfg_train)
+                logger.log_event(
+                    "footprint_adapt", f"M {new_m} clip_frac {fp_frac:.2e}")
+                print(f"train footprint: M={new_m} "
+                      f"(candidate clip fraction {fp_frac:.2e})")
             rcfg_train = rcfg_train._replace(ragged_budget=budget_for(need_bank))
+            fp_note = "" if fp_frac is None else f" fp_clip {fp_frac:.2e}"
             logger.log_event(
                 "ragged_need_bank",
-                f"frames {F} budget {rcfg_train.ragged_budget} rows/tile")
+                f"frames {F} budget {rcfg_train.ragged_budget} rows/tile"
+                + fp_note)
             print(f"ragged need table: {F} frames, budget "
                   f"{rcfg_train.ragged_budget} rows/tile "
-                  f"(mean need {need_bank.mean():.0f})")
+                  f"(mean need {need_bank.mean():.0f}{fp_note})")
         else:
             pb = next(iter(BatchLoader(bundle.train_dataset, mp.batch_size,
                                        shuffle=False)))
@@ -487,8 +543,24 @@ def train(
             # capacities/fractions so consecutive retunes usually agree,
             # and the persistent XLA cache makes repeats across runs free.
             if need_bank is not None:
-                need_bank = build_need_bank(state)
+                need_bank, fp_frac = build_need_bank(state, prev_caps=need_bank)
                 newb = budget_for(need_bank)
+                rebuild = False
+                # adaptive footprint: once the probe shows the render-profile
+                # cap (M=4) would clip ~nothing of this scene, train with it
+                # — 2.25x fewer binning keys (measured -11% raster step,
+                # BASELINE.md round-4). The probe ran at the OLD M; pair
+                # enumeration only shrinks with M, so the measured clip
+                # fraction is exact for the shrink direction.
+                new_m = footprint_for(fp_frac, rcfg_train.max_tiles_per_gaussian)
+                if new_m != rcfg_train.max_tiles_per_gaussian:
+                    rcfg_train = rcfg_train._replace(max_tiles_per_gaussian=new_m)
+                    counts_fn = build_counts_fn(rcfg_train)
+                    logger.log_event(
+                        "footprint_adapt", f"M {new_m} clip_frac {fp_frac:.2e}")
+                    print(f"train footprint (epoch-{epoch} retune): M={new_m} "
+                          f"(candidate clip fraction {fp_frac:.2e})")
+                    rebuild = True
                 # caps are data (no recompile); a budget CHANGE rebuilds the
                 # compiled step. Growth applies immediately (correctness
                 # headroom); shrink only past a 10% hysteresis so converged-
@@ -505,6 +577,8 @@ def train(
                     logger.log_event("ragged_rebudget", str(newb))
                     print(f"ragged need table (epoch-{epoch} retune): "
                           f"budget {newb} rows/tile")
+                    rebuild = True
+                if rebuild:
                     step_fn, multi_fn = build_steps(rcfg_train)
             else:
                 new_tiers = tune_now(state)

@@ -79,6 +79,55 @@ class BinContext(NamedTuple):
     m_dropped: jax.Array    # () int32 gaussian-tile pairs cut by the MW*MH footprint cap
 
 
+def _footprint_rects(mx, r, v, ts, txn, tyn, MW, MH):
+    """Capped tile rects for every gaussian: (x0, y0, spanx, spany,
+    m_dropped, raw_pairs). Tile rect follows CUDA getRect semantics
+    ([min, max) clamped to the grid); footprints wider than MW x MH tiles
+    are recentered on the mean's tile and clipped, with every clipped
+    gaussian-tile pair counted in `m_dropped` (never silent).
+    `raw_pairs` = sum of UNCAPPED rect areas over valid gaussians."""
+    x0 = jnp.clip(jnp.floor((mx[..., 0] - r) / ts), 0, txn).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx[..., 0] + r + ts - 1) / ts), 0, txn).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((mx[..., 1] - r) / ts), 0, tyn).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((mx[..., 1] + r + ts - 1) / ts), 0, tyn).astype(jnp.int32)
+
+    cxt = jnp.clip((mx[..., 0] // ts).astype(jnp.int32), x0, jnp.maximum(x1 - 1, x0))
+    cyt = jnp.clip((mx[..., 1] // ts).astype(jnp.int32), y0, jnp.maximum(y1 - 1, y0))
+    spanx = x1 - x0
+    spany = y1 - y0
+    raw_area = spanx * spany
+    x0 = jnp.where(spanx > MW, jnp.clip(cxt - MW // 2, x0, x1 - MW), x0)
+    y0 = jnp.where(spany > MH, jnp.clip(cyt - MH // 2, y0, y1 - MH), y0)
+    spanx = jnp.minimum(spanx, MW)
+    spany = jnp.minimum(spany, MH)
+    m_dropped = jnp.sum(jnp.where(v, raw_area - spanx * spany, 0))
+    raw_pairs = jnp.sum(jnp.where(v, raw_area, 0))
+    return x0, y0, spanx, spany, m_dropped, raw_pairs
+
+
+def footprint_drop(
+    projs: ProjectedGaussians,
+    opacities: jax.Array,
+    height: int,
+    width: int,
+    ts: int,
+    M: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """(dropped_pairs, total_pairs) a footprint cap of M tiles/gaussian
+    would cut on this batch — the decision input for the training loop's
+    adaptive footprint (shrink M=9 -> 4 once the scene's gaussians are
+    small enough that the cap clips ~nothing; warm-up-scale gaussians span
+    many tiles and NEED the wide footprint for full gradients). Pure rect
+    math on the projections — no binning/sort."""
+    MW = MH = int(math.isqrt(M))
+    B, N = projs.depths.shape
+    txn, tyn = _cdiv(width, ts), _cdiv(height, ts)
+    v = (projs.radii > 0) & (opacities.reshape(B, N) >= ALPHA_MIN)
+    _, _, _, _, m_dropped, raw_pairs = _footprint_rects(
+        projs.means2d, projs.radii, v, ts, txn, tyn, MW, MH)
+    return m_dropped, raw_pairs
+
+
 def _bin_gaussians(
     projs: ProjectedGaussians,   # batched (B, N, ...) fields
     colors: jax.Array,           # (B, N, 3)
@@ -116,25 +165,8 @@ def _bin_gaussians(
     # (this is how padding gaussians with opacity 0 become free)
     v = (projs.radii > 0) & (ops >= ALPHA_MIN)
     mx = projs.means2d  # (B, N, 2)
-    r = projs.radii
-
-    # tile rect, CUDA getRect semantics: [min, max) clamped to the grid
-    x0 = jnp.clip(jnp.floor((mx[..., 0] - r) / ts), 0, txn).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((mx[..., 0] + r + ts - 1) / ts), 0, txn).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((mx[..., 1] - r) / ts), 0, tyn).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((mx[..., 1] + r + ts - 1) / ts), 0, tyn).astype(jnp.int32)
-
-    # cap the footprint to MW x MH tiles, recentered on the mean's tile
-    cxt = jnp.clip((mx[..., 0] // ts).astype(jnp.int32), x0, jnp.maximum(x1 - 1, x0))
-    cyt = jnp.clip((mx[..., 1] // ts).astype(jnp.int32), y0, jnp.maximum(y1 - 1, y0))
-    spanx = x1 - x0
-    spany = y1 - y0
-    raw_area = spanx * spany
-    x0 = jnp.where(spanx > MW, jnp.clip(cxt - MW // 2, x0, x1 - MW), x0)
-    y0 = jnp.where(spany > MH, jnp.clip(cyt - MH // 2, y0, y1 - MH), y0)
-    spanx = jnp.minimum(spanx, MW)
-    spany = jnp.minimum(spany, MH)
-    m_dropped = jnp.sum(jnp.where(v, raw_area - spanx * spany, 0))
+    x0, y0, spanx, spany, m_dropped, _ = _footprint_rects(
+        mx, projs.radii, v, ts, txn, tyn, MW, MH)
 
     depth_key = jax.lax.shift_right_logical(
         jax.lax.bitcast_convert_type(jnp.maximum(projs.depths, 1e-6), jnp.int32),

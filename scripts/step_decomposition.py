@@ -20,6 +20,7 @@ Prints one line per variant + the derived per-piece attribution.
 
 import argparse
 import functools
+import math
 import os
 import sys
 import time
@@ -66,6 +67,9 @@ def main():
                     help="ragged static budget, avg rows/tile (0 = worst "
                          "case: every binned pair fits)")
     ap.add_argument("--ragged_chunk", type=int, default=128)
+    ap.add_argument("--m", type=int, default=9,
+                    help="max_tiles_per_gaussian footprint cap (perfect "
+                         "square; 9 = train default, 4 = render fast profile)")
     ap.add_argument("--only", default=None,
                     help="time just this variant (e.g. 'full') — for A/B "
                          "runs that don't need the whole ablation table")
@@ -126,7 +130,9 @@ def main():
     txn, tyn = -(-W // ts), -(-H // ts)
     T = txn * tyn
     Kb, Kh, frac = args.kb, args.kh, args.frac
-    M, MW = 9, 3
+    M = args.m
+    MW = int(math.isqrt(M))
+    assert MW * MW == M, "--m must be a perfect square"
     G = B * T
     pxr = ts * ts // 128
 

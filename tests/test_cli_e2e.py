@@ -253,6 +253,53 @@ def test_ragged_eval_matches_cascade_eval(dataset, tmp_path, capsys):
     assert abs(p_deep - p_rag) < 1e-3, (p_deep, p_rag)
 
 
+def test_footprint_adapts_on_retune(dataset, tmp_path, monkeypatch):
+    """Adaptive train footprint (RasterParams.train_footprint_adapt): the
+    loop shrinks max_tiles_per_gaussian to the render profile (4) when the
+    probe's candidate clip fraction is ~0, widens back past the 3x-eps
+    hysteresis when the scene grows, and keeps training. Fraction schedule
+    over the 4 need-bank builds (startup + retunes at epochs 1, 2, 3):
+    0 -> shrink at startup; 1e-2 -> widen at e1; 0 -> shrink at e2;
+    0 -> silence at e3 (already narrow)."""
+    import train as train_cli
+    from gaussianavatar_tpu.engine import inference as inf
+
+    n_tiles = (64 // 16) ** 2
+    calls = {"n": 0}
+
+    def fake_make_counts_fn(bundle, H, W, rcfg, probe_capacity=0, cand_m=0):
+        def counts(params, batch_stats, feed):
+            B = int(np.asarray(feed["pose_idx"]).shape[0])
+            build = calls["n"] // 3  # 6 frames / batch 2 = 3 feeds per build
+            calls["n"] += 1
+            total = B * 512 * n_tiles
+            drop = int(total * 1e-2) if build == 1 else 0
+            out = (np.full((B * n_tiles,), 512, np.int32),
+                   np.full((B * n_tiles,), 64, np.int32))
+            if cand_m > 0:
+                out = out + (np.int32(drop), np.int32(total))
+            return out
+
+        return counts
+
+    monkeypatch.setattr(inf, "make_counts_fn", fake_make_counts_fn)
+
+    out = str(tmp_path / "out_fp")
+    train_cli.main(
+        ["-s", dataset, "-m", out, *SMALL_ARGS,
+         "--epochs", "3", "--save_epoch", "1", "--save_epochs", "0",
+         "--ragged", "1", "--ragged_chunk", "16", "--auto_cascade", "1",
+         "--no_lpips"]
+    )
+    with open(join(out, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    fp = [r["value"] for r in rows if r.get("event") == "footprint_adapt"]
+    ms = [int(v.split("M ")[1].split()[0]) for v in fp]
+    assert ms == [4, 9, 4], fp
+    losses = [r["total"] for r in rows if "total" in r]
+    assert losses and np.isfinite(losses[-1])
+
+
 def test_ragged_budget_shrinks_on_retune(dataset, tmp_path, monkeypatch):
     """A save-boundary retune whose need table DROPPED must shrink the
     ragged chunk budget (and rebuild the step), not just grow it: holding
@@ -270,13 +317,17 @@ def test_ragged_budget_shrinks_on_retune(dataset, tmp_path, monkeypatch):
     # epoch-2 and epoch-3 retunes see a converged shallow one (16/tile).
     # Expected: one shrink event at epoch 2, silence at epoch 3 (equal
     # budget falls inside the hysteresis).
-    def fake_make_counts_fn(bundle, H, W, rcfg, probe_capacity=0):
+    def fake_make_counts_fn(bundle, H, W, rcfg, probe_capacity=0, cand_m=0):
         def counts(params, batch_stats, feed):
             B = int(np.asarray(feed["pose_idx"]).shape[0])
             need = 160 if calls["n"] < 6 else 16
             calls["n"] += 1
             full = np.full((B * n_tiles,), 512, np.int32)
-            return full, np.full((B * n_tiles,), need, np.int32)
+            out = (full, np.full((B * n_tiles,), need, np.int32))
+            if cand_m > 0:
+                # candidate footprint clips nothing on this fake scene
+                out = out + (np.int32(0), np.int32(B * 512 * n_tiles))
+            return out
 
         return counts
 

@@ -339,3 +339,47 @@ def test_ragged_fuzz_vs_xla_twin():
                                    atol=2e-5, err_msg=f"seed {seed}")
         ov_exp = int((counts - caps).sum()) + int(ctx.m_dropped)
         assert int(ov_r) == ov_exp, (seed, int(ov_r), ov_exp)
+
+
+def test_footprint_shrink_bit_exact_when_clip_free():
+    """The adaptive train footprint's safety argument: when footprint_drop
+    reports ZERO clipped pairs at the candidate M, shrinking the footprint
+    leaves the binned pair set — hence the ragged image, gradients, and
+    overflow — bit-identical. (loop.py shrinks M 9->4 at retunes exactly
+    when this holds; BASELINE.md round-4 measured -11% raster step.)"""
+    from gaussianavatar_tpu.ops.projection import project_gaussians
+    from gaussianavatar_tpu.ops.rasterize_tile import footprint_drop
+
+    cam, arrays = make_scene(n=100, seed=5)
+    means, scales, q, opac, colors, bg = tuple(arrays)
+    scales = scales * 0.4  # small gaussians: nothing spans >2x2 tiles
+    arrays = (means, scales, q, opac, colors, bg)
+
+    proj = project_gaussians(
+        means, scales, q, cam.world_view_transform, cam.full_proj_transform,
+        cam.tan_fovx, cam.tan_fovy, cam.height, cam.width,
+    )
+    projs = jax.tree.map(lambda x: x[None], proj)
+    drop, total = footprint_drop(projs, opac[None], cam.height, cam.width,
+                                 16, 4)
+    assert int(drop) == 0 and int(total) > 0
+
+    wide = RAGGED._replace(max_tiles_per_gaussian=16)
+    narrow = RAGGED._replace(max_tiles_per_gaussian=4)
+
+    def run(cfg):
+        # differentiate wrt opacity for a gradient through the blend
+        def g(op):
+            a = (means, scales, q, op, colors, bg)
+            img, ov = _render_views(cam, a, cfg)
+            w = jnp.cos(jnp.arange(img.size, dtype=jnp.float32).reshape(img.shape))
+            return jnp.sum(img * w), (img, ov)
+
+        (_, (img, ov)), grad = jax.value_and_grad(g, has_aux=True)(opac)
+        return img, ov, grad
+
+    img_w, ov_w, g_w = run(wide)
+    img_n, ov_n, g_n = run(narrow)
+    np.testing.assert_array_equal(np.asarray(img_n), np.asarray(img_w))
+    np.testing.assert_array_equal(np.asarray(g_n), np.asarray(g_w))
+    assert int(ov_n) == int(ov_w)

@@ -328,3 +328,36 @@ def test_window_gather_deep_tier_offsets():
     img1 = rasterize(means, colors, scales, q, opac, cam, bg,
                      config=cfg._replace(gather_window=True))
     np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+
+
+def test_footprint_drop_matches_binning():
+    """footprint_drop (the adaptive-footprint decision probe) must agree
+    with the binning's own accounting: total = binned pairs under an
+    uncapping footprint, dropped@M = _bin_gaussians' m_dropped at that M,
+    and the two decompose (total - binned@M == dropped@M)."""
+    from gaussianavatar_tpu.ops.rasterize_tile import (
+        _bin_gaussians, footprint_drop,
+    )
+
+    cam, arrays = make_scene(n=120, seed=3)
+    means, scales, q, opac, colors, bg = tuple(arrays)
+    proj = project_gaussians(
+        means, scales, q, cam.world_view_transform, cam.full_proj_transform,
+        cam.tan_fovx, cam.tan_fovy, cam.height, cam.width,
+    )
+    projs = jax.tree.map(lambda x: x[None], proj)
+    colors_b, opac_b = colors[None], opac[None]
+    h, w, ts = cam.height, cam.width, 16
+
+    ctx_big = _bin_gaussians(projs, colors_b, opac_b, h, w, ts, 8, 8)
+    assert int(ctx_big.m_dropped) == 0  # 8x8 footprint caps nothing here
+    ctx4 = _bin_gaussians(projs, colors_b, opac_b, h, w, ts, 2, 2)
+
+    drop4, total = footprint_drop(projs, opac_b, h, w, ts, 4)
+    assert int(total) == int(ctx_big.full_counts.sum())
+    assert int(drop4) == int(ctx4.m_dropped)
+    assert int(total) - int(ctx4.full_counts.sum()) == int(drop4)
+    assert int(drop4) > 0  # the scene DOES have >2x2-tile gaussians
+
+    drop_big, total_big = footprint_drop(projs, opac_b, h, w, ts, 64)
+    assert int(drop_big) == 0 and int(total_big) == int(total)
