@@ -154,11 +154,171 @@ def train_multi(
         stacked_state = stack_subjects(singles)
 
     stacked_assets = stack_assets([b.assets for b in bundles])
-    step, place_subject, place_batch = make_grid_step(
-        bundles[0].net, bundles[0].body_model, stacked_assets, tx, opt,
-        H, W, bg, raster_config(cfg0, train=True), mesh,
-        train_stage=cfg0.model.train_stage,
-    )
+    rcfg_train = raster_config(cfg0, train=True)
+
+    # --- Multi-subject saturation-probe auto-tune (RasterParams.auto_cascade;
+    # single-subject rationale in engine/loop.py). The grid step is ONE
+    # compiled program shared by every subject, so the static knobs (tiers /
+    # chunk budget / footprint M) are tuned to the WORST subject, while the
+    # ragged path's per-tile capacities stay per-subject per-frame DATA
+    # (tile_caps rides the stacked feed, vmapped over the subject axis).
+    need_banks = None  # per subject: (F_s, T) int32 caps tables
+    build_need_banks = budget_for = footprint_for = tune_pooled = None
+    B = cfg0.model.batch_size
+    if getattr(cfg0.raster, "auto_cascade", 0):
+        from gaussianavatar_tpu.data.dataset import collate
+        from gaussianavatar_tpu.engine.inference import (
+            PROBE_CAPACITY, make_counts_fn,
+        )
+        from gaussianavatar_tpu.ops.cascade import tune_tiers
+
+        ts_r = rcfg_train.tile_size
+        T_img = (-(-W // ts_r)) * (-(-H // ts_r))
+        CBr = int(rcfg_train.ragged_chunk)
+        margin = float(getattr(cfg0.raster, "ragged_margin", 1.5) or 1.5)
+        fp_full = int(rcfg_train.max_tiles_per_gaussian)
+        fp_target = int(getattr(
+            cfg0.raster, "render_max_tiles_per_gaussian", 0) or 0)
+        fp_adapt = (bool(getattr(cfg0.raster, "train_footprint_adapt", 0))
+                    and getattr(rcfg_train, "ragged", False)
+                    and 0 < fp_target < fp_full)
+        fp_eps = float(getattr(cfg0.raster, "train_footprint_eps", 1e-3))
+
+        def _probe_feed(pb):
+            feed = {k: v for k, v in pb.items()
+                    if k not in DROP_KEYS and k != "original_image"}
+            if "inp_pos_map" in feed and feed["inp_pos_map"].shape[1] == 3:
+                feed["inp_pos_map"] = feed["inp_pos_map"].transpose(0, 2, 3, 1)
+            return feed
+
+        probe_feeds = []  # per subject: [(frame idxs, feed), ...] covering F_s
+        for b in bundles:
+            F_s = len(b.train_dataset)
+            fs = []
+            for i in range(0, F_s, B):
+                idxs = [(i + j) % F_s for j in range(B)]
+                pb = collate([b.train_dataset[int(k)] for k in idxs])
+                fs.append((idxs, _probe_feed(pb)))
+            probe_feeds.append(fs)
+
+        def build_counts_fns(rc):
+            return [make_counts_fn(b, H, W, rc, probe_capacity=PROBE_CAPACITY,
+                                   cand_m=fp_target if fp_adapt else 0)
+                    for b in bundles]
+
+        counts_fns = build_counts_fns(rcfg_train)
+
+        def subject_state(st, s):
+            take = lambda x: np.asarray(x[s])
+            return jax.tree.map(take, st.params), jax.tree.map(take, st.batch_stats)
+
+        if getattr(rcfg_train, "ragged", False):
+
+            def build_need_banks(st, prev=None):
+                """-> (per-subject caps tables, worst candidate-footprint
+                clip fraction). With `prev` also logs pooled need drift —
+                see engine/loop.py build_need_bank."""
+                banks, worst_frac = [], None
+                exceed = grew = 0
+                for s, (b, fs) in enumerate(zip(bundles, probe_feeds)):
+                    F_s = len(b.train_dataset)
+                    nb = np.zeros((F_s, T_img), np.int32)
+                    got = np.zeros(F_s, bool)
+                    drop = tot = 0
+                    p, bs = subject_state(st, s)
+                    for idxs, feed in fs:
+                        out = counts_fns[s](p, bs, feed)
+                        needed = np.asarray(out[1]).reshape(B, T_img)
+                        if fp_adapt:
+                            drop += int(out[2])
+                            tot += int(out[3])
+                        for row, k in zip(needed, idxs):
+                            if not got[k]:
+                                nb[k] = row
+                                got[k] = True
+                    if prev is not None:
+                        exceed += int(np.maximum(
+                            nb.astype(np.int64) - prev[s], 0).sum())
+                        grew += int(nb.sum())
+                    if fp_adapt:
+                        frac = drop / max(tot, 1)
+                        worst_frac = frac if worst_frac is None else max(
+                            worst_frac, frac)
+                    banks.append(np.minimum(
+                        np.ceil(nb * margin).astype(np.int64), PROBE_CAPACITY
+                    ).astype(np.int32))
+                if prev is not None:
+                    drift = exceed / max(grew, 1)
+                    for lg in loggers:
+                        lg.log_event("ragged_drift", f"{drift:.2e}")
+                    print(f"ragged need drift since last retune: {drift:.2e}")
+                return banks, worst_frac
+
+            def budget_for(banks):
+                # shared static budget: the worst subject's worst batch
+                worst = 0
+                for nb in banks:
+                    ch = (-(-nb.astype(np.int64) // CBr)).sum(axis=1)
+                    worst = max(worst, int(np.sort(ch)[::-1][:B].sum()))
+                C = int(worst * 1.15) + B
+                C = -(-C // 256) * 256 if C >= 256 else -(-C // 8) * 8
+                return int(np.ceil(C * CBr / (B * T_img)))
+
+            def footprint_for(frac, cur_m):
+                if frac is None:
+                    return cur_m
+                if cur_m > fp_target and frac <= fp_eps:
+                    return fp_target
+                if cur_m < fp_full and frac >= 3.0 * fp_eps:
+                    return fp_full
+                return cur_m
+
+            need_banks, fp_frac = build_need_banks(stacked_state)
+            new_m = footprint_for(fp_frac, rcfg_train.max_tiles_per_gaussian)
+            if new_m != rcfg_train.max_tiles_per_gaussian:
+                rcfg_train = rcfg_train._replace(max_tiles_per_gaussian=new_m)
+                counts_fns = build_counts_fns(rcfg_train)
+                for lg in loggers:
+                    lg.log_event("footprint_adapt",
+                                 f"M {new_m} clip_frac {fp_frac:.2e}")
+                print(f"train footprint: M={new_m} "
+                      f"(worst candidate clip fraction {fp_frac:.2e})")
+            rcfg_train = rcfg_train._replace(ragged_budget=budget_for(need_banks))
+            for lg in loggers:
+                lg.log_event(
+                    "ragged_need_bank",
+                    f"subjects {S} budget {rcfg_train.ragged_budget} rows/tile")
+            print(f"ragged need tables: {S} subjects, shared budget "
+                  f"{rcfg_train.ragged_budget} rows/tile")
+        else:
+
+            def tune_pooled(st):
+                # pool every subject's first probe batch: one shared tier
+                # set sized for the worst tiles anywhere in the fleet
+                needs, cnts = [], []
+                for s in range(S):
+                    p, bs = subject_state(st, s)
+                    _, feed = probe_feeds[s][0]
+                    out = counts_fns[s](p, bs, feed)
+                    cnts.append(np.asarray(out[0]))
+                    needs.append(np.asarray(out[1]))
+                return tune_tiers(np.concatenate(needs), margin=1.5,
+                                  max_capacity=PROBE_CAPACITY,
+                                  order_by=np.concatenate(cnts))
+
+            tiers = tune_pooled(stacked_state)
+            rcfg_train = rcfg_train._replace(tiers=tiers)
+            for lg in loggers:
+                lg.log_event("auto_cascade", str(tiers))
+            print(f"auto_cascade (multi-subject pooled): tiers {tiers}")
+
+    def build_step(rc):
+        return make_grid_step(
+            bundles[0].net, bundles[0].body_model, stacked_assets, tx, opt,
+            H, W, bg, rc, mesh, train_stage=cfg0.model.train_stage,
+        )
+
+    step, place_subject, place_batch = build_step(rcfg_train)
     del place_batch  # feeds are placed by the prefetcher with this sharding:
     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -172,10 +332,14 @@ def train_multi(
         """Zip per-subject loaders into (S, B, ...) stacked feeds."""
         for per_subject in zip(*loaders):
             feeds = []
-            for batch in per_subject:
+            for s, batch in enumerate(per_subject):
                 feed = {k: v for k, v in batch.items() if k not in DROP_KEYS}
                 if "inp_pos_map" in feed and feed["inp_pos_map"].shape[1] == 3:
                     feed["inp_pos_map"] = feed["inp_pos_map"].transpose(0, 2, 3, 1)
+                if need_banks is not None:
+                    # per-subject per-frame ragged caps (vmapped over the
+                    # subject axis by the grid step, sharded P(subject, dp))
+                    feed["tile_caps"] = need_banks[s][batch["pose_idx"]]
                 feeds.append(feed)
             yield {k: np.stack([f[k] for f in feeds]) for k in feeds[0]}
 
@@ -221,6 +385,43 @@ def train_multi(
             if max_steps is not None and first_iter >= max_steps:
                 done = True
                 break
+
+        if (need_banks is not None or tune_pooled is not None) and not done and (
+            epoch == epoch_start + 1 or epoch % cfg0.model.save_epoch == 0
+        ):
+            # save-boundary retune, mirroring engine/loop.py: saturation
+            # evolves during training; only static-knob changes recompile
+            if need_banks is not None:
+                need_banks, fp_frac = build_need_banks(state, prev=need_banks)
+                rebuild = False
+                new_m = footprint_for(fp_frac, rcfg_train.max_tiles_per_gaussian)
+                if new_m != rcfg_train.max_tiles_per_gaussian:
+                    rcfg_train = rcfg_train._replace(max_tiles_per_gaussian=new_m)
+                    counts_fns = build_counts_fns(rcfg_train)
+                    for lg in loggers:
+                        lg.log_event("footprint_adapt",
+                                     f"M {new_m} clip_frac {fp_frac:.2e}")
+                    print(f"train footprint (epoch-{epoch} retune): M={new_m}")
+                    rebuild = True
+                newb = budget_for(need_banks)
+                if newb > rcfg_train.ragged_budget or newb < int(
+                        rcfg_train.ragged_budget * 0.9):
+                    rcfg_train = rcfg_train._replace(ragged_budget=newb)
+                    for lg in loggers:
+                        lg.log_event("ragged_rebudget", str(newb))
+                    print(f"ragged need tables (epoch-{epoch} retune): "
+                          f"shared budget {newb} rows/tile")
+                    rebuild = True
+                if rebuild:
+                    step, place_subject, _ = build_step(rcfg_train)
+            else:
+                new_tiers = tune_pooled(state)
+                if new_tiers != rcfg_train.tiers:
+                    rcfg_train = rcfg_train._replace(tiers=new_tiers)
+                    for lg in loggers:
+                        lg.log_event("auto_cascade_retuned", str(new_tiers))
+                    print(f"auto_cascade (multi, epoch-{epoch} retune): {new_tiers}")
+                    step, place_subject, _ = build_step(rcfg_train)
 
         if (epoch > saving_epochs[0]) and epoch % cfg0.model.save_epoch == 0:
             print(f"[Epoch {epoch}] saving {S} subject checkpoints")

@@ -226,3 +226,37 @@ def test_train_dp_ragged_need_table(datasets, tmp_path):
     assert "ragged_need_bank" in events, events
     losses = [r["total"] for r in rows if "total" in r]
     assert losses and np.isfinite(losses[-1])
+
+
+def test_train_multi_ragged_need_tables(datasets, tmp_path):
+    """Multi-subject + ragged + auto_cascade compose: per-subject need
+    tables feed per-frame tile_caps through the stacked (S, B, T) feed, a
+    SHARED chunk budget (worst subject) sizes the one compiled grid step,
+    and save-boundary retunes keep working (drift telemetry + rebudget/
+    footprint events land in every subject's metrics.jsonl)."""
+    import json
+
+    import train_multi as tm
+
+    out = str(tmp_path / "multi_rg_out")
+    sources = [join(datasets, n) for n in ("subjA", "subjB")]
+    tm.main(["--sources", *sources, "-m", out, *SMALL_ARGS,
+             "--batch_size", "2", "--dp", "2",
+             "--ragged", "1", "--ragged_chunk", "16", "--auto_cascade", "1",
+             "--epochs", "2", "--save_epochs", "0", "--save_epoch", "1"])
+    for name in ("subjA", "subjB"):
+        assert os.path.exists(join(out, name, "net", "iteration_2", "net.ckpt"))
+        with open(join(out, name, "metrics.jsonl")) as f:
+            rows = [json.loads(l) for l in f]
+        events = [r["event"] for r in rows if "event" in r]
+        assert "ragged_need_bank" in events, events
+        assert "ragged_drift" in events, events
+        losses = [r["total"] for r in rows if "total" in r]
+        assert losses and np.isfinite(losses[-1])
+
+    # a ragged-trained subject checkpoint evals like any other
+    import eval as eval_cli
+
+    eval_cli.main(["-m", join(out, "subjA")])
+    results = open(join(out, "subjA", "test_free", "results.txt")).read()
+    assert np.isfinite(float(results.split("psnr:")[1].split()[0]))
