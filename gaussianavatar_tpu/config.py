@@ -205,6 +205,13 @@ class RasterParams:
     # contributing pair blended) at the minimum possible slab cost. The
     # probe doubles eval render work — eval is offline, exactness wins
     ragged_eval: int = 0
+    # 1 = row-VECTORIZED blend kernels (ops/blend_vec): whole 128-row chunks
+    # computed at once with the transmittance chain as a 7-step scan, vs the
+    # sequential kernels' one-row-at-a-time walk. Identical gating semantics
+    # (1/255 floor, 0.99 clamp, 1e-4 termination); results agree to float
+    # tolerance, not bit-exactly (tree-reassociated products/sums) — the
+    # sequential kernels stay as the CUDA-parity bit-exactness lock.
+    blend_vec: int = 0
 
 
 def _add_group(parser: ArgumentParser, cls, name: str, shorthands: dict):

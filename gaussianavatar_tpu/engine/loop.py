@@ -107,6 +107,7 @@ def raster_config(cfg: Config, train: bool = False) -> RasterizeConfig:
         ragged=bool(getattr(r, "ragged", 0)) if train else False,
         ragged_chunk=int(getattr(r, "ragged_chunk", 128) or 128),
         ragged_budget=int(getattr(r, "ragged_budget", 0) or 0),
+        blend_vec=bool(getattr(r, "blend_vec", 0)),
     )
 
 

@@ -63,6 +63,10 @@ class RasterizeConfig(NamedTuple):
     # static budget as average rows per tile (cascade-cost scale);
     # 0 = worst case (every binned pair fits)
     ragged_budget: int = 0
+    # row-vectorized blend kernels (ops/blend_vec): whole 128-row chunks per
+    # step with the transmittance chain as a log2-step scan. Same gating
+    # semantics as the sequential kernels; float-tolerance, not bit-exact
+    blend_vec: bool = False
 
 
 def rasterize(

@@ -60,6 +60,7 @@ from gaussianavatar_tpu.ops.rasterize_tile import (
     _untile,
 )
 from gaussianavatar_tpu.ops.rasterize_ref import ALPHA_MAX, ALPHA_MIN, T_EPS
+from gaussianavatar_tpu.ops.blend_vec import vec_bwd_chunk, vec_fwd_chunk
 
 import math
 
@@ -311,13 +312,107 @@ def _ragged_bwd_kernel(
 
 
 # --------------------------------------------------------------------------
+# Row-vectorized kernels (ops/blend_vec): whole-chunk (CB, PX) arithmetic,
+# transmittance via a log2(CB)-step scan. Same gating semantics, float-
+# tolerance (not bit-exact) vs the sequential kernels above; selected by
+# RasterParams.blend_vec. Pixel state lives as (1, PX) lane rows.
+# --------------------------------------------------------------------------
+
+def _ragged_fwd_kernel_vec(
+    ct_ref, k0_ref, caps_ref, tloc_ref,    # scalar prefetch
+    table_ref,                              # (1, CB, 16) VMEM block
+    color_ref, T_ref, ncon_ref, done_ref,   # outputs, revisited per tile
+    *, CB, ts, txn,
+):
+    PX = ts * ts
+    c = pl.program_id(0)
+    t = ct_ref[c]
+    k0 = k0_ref[c]
+    tile = tloc_ref[t]
+    tx = tile % txn
+    ty = tile // txn
+    f = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    px = (tx * ts + f % ts).astype(jnp.float32)
+    py = (ty * ts + f // ts).astype(jnp.float32)
+
+    @pl.when(k0 == 0)
+    def _init():
+        zero = jnp.zeros((1, PX), jnp.float32)
+        color_ref[0, 0] = zero
+        color_ref[0, 1] = zero
+        color_ref[0, 2] = zero
+        T_ref[0] = jnp.ones((1, PX), jnp.float32)
+        ncon_ref[0] = jnp.zeros((1, PX), jnp.int32)
+        done_ref[0] = zero
+
+    done_in = done_ref[0]
+
+    @pl.when((k0 >= 0) & (jnp.min(done_in) < 1.0))
+    def _acc():
+        count = caps_ref[t]
+        dcr, dcg, dcb, T, done, ncon = vec_fwd_chunk(
+            table_ref[0], px, py, k0, count, T_ref[0], done_in, ncon_ref[0]
+        )
+        color_ref[0, 0] = color_ref[0, 0] + dcr
+        color_ref[0, 1] = color_ref[0, 1] + dcg
+        color_ref[0, 2] = color_ref[0, 2] + dcb
+        T_ref[0] = T
+        done_ref[0] = done
+        ncon_ref[0] = ncon
+
+
+def _ragged_bwd_kernel_vec(
+    ct_ref, k0_ref, last_ref, caps_ref, tloc_ref, maxn_ref,  # scalar prefetch
+    table_ref, finalT_ref, ncon_ref, gimg_ref, gfT_ref,      # inputs
+    grads_ref,                                               # (1, CB, 16) per chunk
+    T_sc, E_sc,                                              # VMEM scratch (1, PX)
+    *, CB, C, ts, txn,
+):
+    PX = ts * ts
+    rc = C - 1 - pl.program_id(0)  # walk chunks in reverse
+    t = ct_ref[rc]
+    k0 = k0_ref[rc]
+    tile = tloc_ref[t]
+    tx = tile % txn
+    ty = tile // txn
+    f = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    px = (tx * ts + f % ts).astype(jnp.float32)
+    py = (ty * ts + f // ts).astype(jnp.float32)
+
+    grads_ref[0, :, :] = jnp.zeros((CB, 16), jnp.float32)
+
+    @pl.when((k0 >= 0) & (last_ref[rc] == 1))
+    def _init():
+        T_sc[...] = finalT_ref[0]
+        E_sc[...] = jnp.zeros((1, PX), jnp.float32)
+
+    maxn = maxn_ref[t]
+
+    @pl.when((k0 >= 0) & (k0 < maxn))
+    def _acc():
+        count = caps_ref[t]
+        block, T, E = vec_bwd_chunk(
+            table_ref[0], px, py, k0, count, ncon_ref[0], finalT_ref[0],
+            gimg_ref[0, 0], gimg_ref[0, 1], gimg_ref[0, 2], gfT_ref[0],
+            T_sc[...], E_sc[...],
+        )
+        grads_ref[0, :, :] = block
+        T_sc[...] = T
+        E_sc[...] = E
+
+
+# --------------------------------------------------------------------------
 # pallas_call wrappers + custom VJP
 # --------------------------------------------------------------------------
 
-def _ragged_fwd(table, caps, ct, k0, tloc, *, G, CB, ts, txn, interpret):
+def _ragged_fwd(table, caps, ct, k0, tloc, *, G, CB, ts, txn, interpret, vec):
     C = table.shape[0]
-    pxr = ts * ts // _LANES
-    kernel = functools.partial(_ragged_fwd_kernel, CB=CB, ts=ts, txn=txn)
+    if vec:
+        pxr, lanes = 1, ts * ts   # pixel state as one (1, ts*ts) lane row
+        kernel = functools.partial(_ragged_fwd_kernel_vec, CB=CB, ts=ts, txn=txn)
+    else:
+        pxr, lanes = ts * ts // _LANES, _LANES
+        kernel = functools.partial(_ragged_fwd_kernel, CB=CB, ts=ts, txn=txn)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(C,),
@@ -325,13 +420,13 @@ def _ragged_fwd(table, caps, ct, k0, tloc, *, G, CB, ts, txn, interpret):
             pl.BlockSpec((1, CB, 16), lambda c, ct, k0, caps, tloc: (c, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, pxr, _LANES),
+            pl.BlockSpec((1, 3, pxr, lanes),
                          lambda c, ct, k0, caps, tloc: (ct[c], 0, 0, 0)),
-            pl.BlockSpec((1, pxr, _LANES),
+            pl.BlockSpec((1, pxr, lanes),
                          lambda c, ct, k0, caps, tloc: (ct[c], 0, 0)),
-            pl.BlockSpec((1, pxr, _LANES),
+            pl.BlockSpec((1, pxr, lanes),
                          lambda c, ct, k0, caps, tloc: (ct[c], 0, 0)),
-            pl.BlockSpec((1, pxr, _LANES),
+            pl.BlockSpec((1, pxr, lanes),
                          lambda c, ct, k0, caps, tloc: (ct[c], 0, 0)),
         ],
     )
@@ -339,20 +434,27 @@ def _ragged_fwd(table, caps, ct, k0, tloc, *, G, CB, ts, txn, interpret):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((G, 3, pxr, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((G, pxr, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((G, pxr, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((G, pxr, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((G, 3, pxr, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((G, pxr, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((G, pxr, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((G, pxr, lanes), jnp.float32),
         ],
         interpret=interpret,
     )(ct, k0, caps, tloc, table)
 
 
 def _ragged_bwd(table, caps, ct, k0, last, tloc, maxn, finalT, ncon, gimg, gfT,
-                *, CB, ts, txn, interpret):
+                *, CB, ts, txn, interpret, vec):
     C = table.shape[0]
-    pxr = ts * ts // _LANES
-    kernel = functools.partial(_ragged_bwd_kernel, CB=CB, C=C, ts=ts, txn=txn)
+    if vec:
+        pxr, lanes = 1, ts * ts
+        kernel = functools.partial(
+            _ragged_bwd_kernel_vec, CB=CB, C=C, ts=ts, txn=txn)
+        scratch = [pltpu.VMEM((1, ts * ts), jnp.float32)] * 2   # T, E carries
+    else:
+        pxr, lanes = ts * ts // _LANES, _LANES
+        kernel = functools.partial(_ragged_bwd_kernel, CB=CB, C=C, ts=ts, txn=txn)
+        scratch = [pltpu.VMEM((pxr, _LANES), jnp.float32)] * 4
     rev_tbl = lambda c, ct, k0, last, caps, tloc, maxn: (C - 1 - c, 0, 0)
     rev_tile3 = lambda c, ct, k0, last, caps, tloc, maxn: (ct[C - 1 - c], 0, 0)
     rev_tile4 = lambda c, ct, k0, last, caps, tloc, maxn: (ct[C - 1 - c], 0, 0, 0)
@@ -361,13 +463,13 @@ def _ragged_bwd(table, caps, ct, k0, last, tloc, maxn, finalT, ncon, gimg, gfT,
         grid=(C,),
         in_specs=[
             pl.BlockSpec((1, CB, 16), rev_tbl),
-            pl.BlockSpec((1, pxr, _LANES), rev_tile3),   # finalT
-            pl.BlockSpec((1, pxr, _LANES), rev_tile3),   # ncon
-            pl.BlockSpec((1, 3, pxr, _LANES), rev_tile4),  # gimg
-            pl.BlockSpec((1, pxr, _LANES), rev_tile3),   # gfT
+            pl.BlockSpec((1, pxr, lanes), rev_tile3),   # finalT
+            pl.BlockSpec((1, pxr, lanes), rev_tile3),   # ncon
+            pl.BlockSpec((1, 3, pxr, lanes), rev_tile4),  # gimg
+            pl.BlockSpec((1, pxr, lanes), rev_tile3),   # gfT
         ],
         out_specs=pl.BlockSpec((1, CB, 16), rev_tbl),
-        scratch_shapes=[pltpu.VMEM((pxr, _LANES), jnp.float32)] * 4,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
@@ -378,7 +480,8 @@ def _ragged_bwd(table, caps, ct, k0, last, tloc, maxn, finalT, ncon, gimg, gfT,
 
 
 @functools.lru_cache(maxsize=32)
-def _make_ragged_blend(txn: int, ts: int, G: int, CB: int, interpret: bool):
+def _make_ragged_blend(txn: int, ts: int, G: int, CB: int, interpret: bool,
+                       vec: bool = False):
     """custom-VJP ragged blend: table (C, CB, 16) in chunk-stream order +
     scalar chunk maps -> per-tile (color, finalT, ncon, done). Tiles with
     zero capacity are never visited — their output blocks are UNDEFINED;
@@ -387,11 +490,13 @@ def _make_ragged_blend(txn: int, ts: int, G: int, CB: int, interpret: bool):
     @jax.custom_vjp
     def blend(table, caps, ct, k0, last, tloc):
         return _ragged_fwd(table, caps, ct, k0, tloc,
-                           G=G, CB=CB, ts=ts, txn=txn, interpret=interpret)
+                           G=G, CB=CB, ts=ts, txn=txn, interpret=interpret,
+                           vec=vec)
 
     def blend_fwd(table, caps, ct, k0, last, tloc):
         out = _ragged_fwd(table, caps, ct, k0, tloc,
-                          G=G, CB=CB, ts=ts, txn=txn, interpret=interpret)
+                          G=G, CB=CB, ts=ts, txn=txn, interpret=interpret,
+                          vec=vec)
         color, finalT, ncon, done = out
         return out, (table, caps, ct, k0, last, tloc, finalT, ncon)
 
@@ -403,7 +508,7 @@ def _make_ragged_blend(txn: int, ts: int, G: int, CB: int, interpret: bool):
         maxn = jnp.max(ncon.reshape(ncon.shape[0], -1), axis=1).astype(jnp.int32)
         grads = _ragged_bwd(table, caps, ct, k0, last, tloc, maxn,
                             finalT, ncon, gimg, gfT,
-                            CB=CB, ts=ts, txn=txn, interpret=interpret)
+                            CB=CB, ts=ts, txn=txn, interpret=interpret, vec=vec)
         return grads, None, None, None, None, None
 
     blend.defvjp(blend_fwd, blend_bwd)
@@ -490,7 +595,8 @@ def rasterize_views_ragged(
     backend = getattr(config, "backend", "auto")
     interpret = not (backend in ("auto", "tile", "pallas")
                      and jax.default_backend() == "tpu")
-    blend = _make_ragged_blend(txn, ts, G, CB, interpret)
+    vec = bool(getattr(config, "blend_vec", 0))
+    blend = _make_ragged_blend(txn, ts, G, CB, interpret, vec)
     color_t, finalT_t, _, _ = blend(table, caps_eff, ct, k0, last, tloc)
 
     vis = caps_eff > 0

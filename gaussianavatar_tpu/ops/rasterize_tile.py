@@ -56,6 +56,7 @@ from gaussianavatar_tpu.ops.rasterize_ref import (
     T_EPS,
     blend_pixels,
 )
+from gaussianavatar_tpu.ops.blend_vec import vec_bwd_chunk, vec_fwd_chunk
 
 _LANES = 128
 _CHUNK = 8  # gaussians per unrolled inner step in the Pallas kernels
@@ -529,10 +530,125 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, nchunks, body, (finalT, zero, zero, zero))
 
 
-def _pallas_fwd(params, counts, tileids, txn, ts, K, interpret, acc=jnp.float32):
+# --------------------------------------------------------------------------
+# Row-vectorized kernels (ops/blend_vec): whole (VCB, ts*ts)-chunk arithmetic
+# with the transmittance chain as a log2-step scan, sub-chunked over the K
+# capacity (while_loop keeps the every-pixel-saturated early exit at VCB
+# granularity; a static tail handles K % VCB — its rows are mask-gated so
+# unconditional processing is exact). Same gating semantics as the sequential
+# kernels, float-tolerance not bit-exact; selected by RasterParams.blend_vec.
+# --------------------------------------------------------------------------
+
+_VCB = 128  # rows per vectorized sub-chunk
+
+
+def _fwd_kernel_vec(
+    tileid_ref, count_ref, params_ref, color_ref, finalT_ref, ncon_ref, done_ref,
+    *, K, ts, txn,
+):
+    PX = ts * ts
+    t = pl.program_id(0)
+    tile = tileid_ref[t]
+    tx = tile % txn
+    ty = tile // txn
+    f = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    px = (tx * ts + f % ts).astype(jnp.float32)
+    py = (ty * ts + f // ts).astype(jnp.float32)
+    count = count_ref[t]
+    VCB = min(_VCB, K)
+    nfull = K // VCB
+    tail = K - nfull * VCB
+
+    def body(st):
+        ci, T, cr, cg, cb, done, ncon = st
+        s0 = ci * VCB
+        p = params_ref[0, pl.ds(s0, VCB), :]
+        dcr, dcg, dcb, T, done, ncon = vec_fwd_chunk(
+            p, px, py, s0, count, T, done, ncon)
+        return (ci + 1, T, cr + dcr, cg + dcg, cb + dcb, done, ncon)
+
+    def cond(st):
+        nsub = jnp.minimum(pl.cdiv(count, VCB), nfull)
+        return (st[0] < nsub) & (jnp.min(st[5]) < 1.0)
+
+    zero = jnp.zeros((1, PX), jnp.float32)
+    init = (
+        jnp.int32(0), jnp.ones((1, PX), jnp.float32), zero, zero, zero,
+        zero, jnp.zeros((1, PX), jnp.int32),
+    )
+    _, T, cr, cg, cb, done, ncon = jax.lax.while_loop(cond, body, init)
+    if tail:
+        p = params_ref[0, pl.ds(nfull * VCB, tail), :]
+        dcr, dcg, dcb, T, done, ncon = vec_fwd_chunk(
+            p, px, py, nfull * VCB, count, T, done, ncon)
+        cr, cg, cb = cr + dcr, cg + dcg, cb + dcb
+    color_ref[0, 0] = cr
+    color_ref[0, 1] = cg
+    color_ref[0, 2] = cb
+    finalT_ref[0] = T
+    ncon_ref[0] = ncon
+    done_ref[0] = done
+
+
+def _bwd_kernel_vec(
+    tileid_ref, count_ref, params_ref, finalT_ref, ncon_ref, gimg_ref, gfT_ref, grads_ref,
+    *, K, ts, txn,
+):
+    PX = ts * ts
+    t = pl.program_id(0)
+    tile = tileid_ref[t]
+    tx = tile % txn
+    ty = tile // txn
+    f = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    px = (tx * ts + f % ts).astype(jnp.float32)
+    py = (ty * ts + f // ts).astype(jnp.float32)
+    count = count_ref[t]
+    finalT = finalT_ref[0]
+    ncon = ncon_ref[0]
+    gr = gimg_ref[0, 0]
+    gg = gimg_ref[0, 1]
+    gb = gimg_ref[0, 2]
+    gfT = gfT_ref[0]
+
+    grads_ref[0, :, :] = jnp.zeros((K, 16), jnp.float32)
+    VCB = min(_VCB, K)
+    nfull = K // VCB
+    tail = K - nfull * VCB
+
+    T0 = finalT
+    E0 = jnp.zeros((1, PX), jnp.float32)
+    if tail:
+        # deepest rows first (reverse walk); rows past every pixel's last
+        # contributor are mask-gated (m=0) so carries pass through unchanged
+        p = params_ref[0, pl.ds(nfull * VCB, tail), :]
+        block, T0, E0 = vec_bwd_chunk(
+            p, px, py, nfull * VCB, count, ncon, finalT, gr, gg, gb, gfT, T0, E0)
+        grads_ref[0, pl.ds(nfull * VCB, tail), :] = block
+    # chunks beyond the deepest contributor carry zero grads: skip them
+    nsub = jnp.minimum(pl.cdiv(jnp.minimum(jnp.max(ncon), count), VCB), nfull)
+
+    def body(i, st):
+        T, E = st
+        ci = nsub - 1 - i
+        s0 = ci * VCB
+        p = params_ref[0, pl.ds(s0, VCB), :]
+        block, T, E = vec_bwd_chunk(
+            p, px, py, s0, count, ncon, finalT, gr, gg, gb, gfT, T, E)
+        grads_ref[0, pl.ds(s0, VCB), :] = block
+        return (T, E)
+
+    jax.lax.fori_loop(0, nsub, body, (T0, E0))
+
+
+def _pallas_fwd(params, counts, tileids, txn, ts, K, interpret, acc=jnp.float32,
+                vec=False):
     G = params.shape[0]  # grid size = number of selected tiles
-    pxr = ts * ts // _LANES
-    kernel = functools.partial(_fwd_kernel, K=K, ts=ts, txn=txn, acc=acc)
+    if vec:
+        pxr, lanes = 1, ts * ts
+        kernel = functools.partial(_fwd_kernel_vec, K=K, ts=ts, txn=txn)
+    else:
+        pxr, lanes = ts * ts // _LANES, _LANES
+        kernel = functools.partial(_fwd_kernel, K=K, ts=ts, txn=txn, acc=acc)
     return pl.pallas_call(
         kernel,
         grid=(G,),
@@ -542,25 +658,30 @@ def _pallas_fwd(params, counts, tileids, txn, ts, K, interpret, acc=jnp.float32)
             pl.BlockSpec((1, K, 16), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, pxr, _LANES), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, pxr, lanes), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, lanes), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, lanes), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, lanes), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, 3, pxr, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((G, pxr, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((G, pxr, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((G, pxr, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((G, 3, pxr, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((G, pxr, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((G, pxr, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((G, pxr, lanes), jnp.float32),
         ],
         interpret=interpret,
     )(tileids, counts, params)
 
 
-def _pallas_bwd(params, counts, tileids, finalT, ncon, gimg, gfT, txn, ts, K, interpret):
+def _pallas_bwd(params, counts, tileids, finalT, ncon, gimg, gfT, txn, ts, K,
+                interpret, vec=False):
     G = params.shape[0]
-    pxr = ts * ts // _LANES
-    kernel = functools.partial(_bwd_kernel, K=K, ts=ts, txn=txn)
+    if vec:
+        pxr, lanes = 1, ts * ts
+        kernel = functools.partial(_bwd_kernel_vec, K=K, ts=ts, txn=txn)
+    else:
+        pxr, lanes = ts * ts // _LANES, _LANES
+        kernel = functools.partial(_bwd_kernel, K=K, ts=ts, txn=txn)
     return pl.pallas_call(
         kernel,
         grid=(G,),
@@ -568,10 +689,10 @@ def _pallas_bwd(params, counts, tileids, finalT, ncon, gimg, gfT, txn, ts, K, in
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tile ids
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full counts vector
             pl.BlockSpec((1, K, 16), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, pxr, _LANES), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pxr, _LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, lanes), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, lanes), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, pxr, lanes), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pxr, lanes), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, K, 16), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, K, 16), jnp.float32),
@@ -581,30 +702,34 @@ def _pallas_bwd(params, counts, tileids, finalT, ncon, gimg, gfT, txn, ts, K, in
 
 @functools.lru_cache(maxsize=32)
 def _make_pallas_blend(txn: int, ts: int, K: int, interpret: bool,
-                       acc_name: str = "float32"):
+                       acc_name: str = "float32", vec: bool = False):
     """custom-VJP blend over packed per-tile params; pixel axis lives as
     (ts*ts/128, 128) so every vector op is a full VPU register. The grid is
     one step per selected tile: a full batch of views, or any subset of
     tiles (the two-tier heavy pass), rides ONE launch.
 
     `acc_name` sets the FORWARD compute/accumulate dtype (bf16 experiment);
-    the backward kernel always runs f32 — grads feed an f32 optimizer."""
+    the backward kernel always runs f32 — grads feed an f32 optimizer.
+    `vec` selects the row-vectorized kernels (ops/blend_vec; f32 only —
+    acc_name is ignored there)."""
     acc = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[acc_name]
 
     @jax.custom_vjp
     def blend(params, counts, tileids):
-        return _pallas_fwd(params, counts, tileids, txn, ts, K, interpret, acc)
+        return _pallas_fwd(params, counts, tileids, txn, ts, K, interpret, acc,
+                           vec)
 
     def blend_fwd(params, counts, tileids):
         color, finalT, ncon, done = _pallas_fwd(
-            params, counts, tileids, txn, ts, K, interpret, acc)
+            params, counts, tileids, txn, ts, K, interpret, acc, vec)
         return (color, finalT, ncon, done), (params, counts, tileids, finalT, ncon)
 
     def blend_bwd(res, cot):
         params, counts, tileids, finalT, ncon = res
         gimg, gfT, _, _ = cot
         grads = _pallas_bwd(
-            params, counts, tileids, finalT, ncon, gimg, gfT, txn, ts, K, interpret
+            params, counts, tileids, finalT, ncon, gimg, gfT, txn, ts, K,
+            interpret, vec
         )
         return grads, None, None
 
@@ -710,9 +835,11 @@ def rasterize_views_binned(
     else:
         interpret = backend == "pallas_interpret"
         acc_name = str(getattr(config, "blend_acc_dtype", "float32"))
+        vec = bool(getattr(config, "blend_vec", 0))
 
         def blend_any(p, c, tids):
-            return _make_pallas_blend(txn, ts, p.shape[1], interpret, acc_name)(p, c, tids)
+            return _make_pallas_blend(
+                txn, ts, p.shape[1], interpret, acc_name, vec)(p, c, tids)
 
     color_t, finalT_t, _, done_t = blend_any(params, counts, tileids)
 
@@ -792,6 +919,7 @@ def probe_tile_depths(
         blend = _make_pallas_blend(
             txn, ts, K, backend == "pallas_interpret",
             str(getattr(config, "blend_acc_dtype", "float32")),
+            bool(getattr(config, "blend_vec", 0)),
         )
         _, _, ncon, _ = blend(params, counts, tileids)  # (G, pxr, LANES)
     needed = jnp.max(ncon.reshape(G, -1), axis=1).astype(jnp.int32)

@@ -70,6 +70,8 @@ def main():
     ap.add_argument("--m", type=int, default=9,
                     help="max_tiles_per_gaussian footprint cap (perfect "
                          "square; 9 = train default, 4 = render fast profile)")
+    ap.add_argument("--blend_vec", type=int, default=0,
+                    help="1 = row-vectorized blend kernels (ops/blend_vec)")
     ap.add_argument("--only", default=None,
                     help="time just this variant (e.g. 'full') — for A/B "
                          "runs that don't need the whole ablation table")
@@ -225,7 +227,8 @@ def main():
                 color_t = jnp.mean(table) + jnp.zeros((G, 3, pxr, 128))
                 fT = jnp.zeros((G, pxr, 128))
                 return jnp.sum(color_t) + jnp.sum(fT)
-            blend = rr._make_ragged_blend(txn, ts, G, CB, False)
+            blend = rr._make_ragged_blend(txn, ts, G, CB, False,
+                                          bool(args.blend_vec))
             c1, T1, _, _ = blend(table, caps_eff, ct, k0, last, tloc)
             vis = caps_eff > 0
             c1 = jnp.where(vis[:, None, None, None], c1, 0.0)
@@ -281,9 +284,11 @@ def main():
                 + jnp.zeros((G, 3, pxr, 128))
             fT = jnp.zeros((G, pxr, 128)) + jnp.sum(ph) * 1e-12
             return jnp.sum(color_t) + jnp.sum(fT)
-        blend = rt._make_pallas_blend(txn, ts, Kb, False, "float32")
+        blend = rt._make_pallas_blend(txn, ts, Kb, False, "float32",
+                                      bool(args.blend_vec))
         c1, T1, nc1, d1 = blend(pb, cb, all_tiles % T)
-        blend_h = rt._make_pallas_blend(txn, ts, Kh, False, "float32")
+        blend_h = rt._make_pallas_blend(txn, ts, Kh, False, "float32",
+                                        bool(args.blend_vec))
         c2, T2, nc2, d2 = blend_h(ph, ch, hv % T)
         gate = 1.0 - jax.lax.stop_gradient(d1[hv])
         c1h = c1[hv]
@@ -316,12 +321,17 @@ def main():
         out = None
         for r in range(args.rounds):
             out = run(state.params, batch_for(r % NF))
-        jax.block_until_ready(out)
+        # force a device->host scalar fetch: through the axon tunnel,
+        # block_until_ready can return before the queue drains (measured:
+        # chained matmuls "finish" faster than one), while a value fetch
+        # cannot — the one extra roundtrip amortizes over the rounds
+        float(jnp.sum(out))
         results[name] = (time.perf_counter() - t0) / args.rounds * 1e3
 
     mode = "fwd+bwd" if args.grad else "fwd"
     print(f"\n[{mode} B={B} @{H}^2, tiers {Kb}+{Kh}@{frac}, "
-          f"M={M}, stable={stable}, gather_flat={args.gather_flat}]")
+          f"M={M}, stable={stable}, gather_flat={args.gather_flat}, "
+          f"blend_vec={args.blend_vec}]")
     full = results.get("full")
     for name, ms in results.items():
         if name == "full" or full is None:
