@@ -160,3 +160,51 @@ def test_frame_dp_ragged_matches_unsharded_step():
     flat_got, _ = jax.tree.flatten(jax.tree.map(np.asarray, dp_state.params))
     for r, g in zip(flat_ref, flat_got):
         np.testing.assert_allclose(g, r, atol=1e-5, rtol=1e-5)
+
+
+def test_frame_dp_ragged_vec_matches_unsharded_step():
+    """blend_vec=1 under dp: the vectorized kernels' (1, PX) pixel blocks and
+    scan-based chunk math must compose with the sharded feed exactly like the
+    sequential kernels do."""
+    import optax
+
+    from gaussianavatar_tpu.engine.train_step import make_train_step
+
+    net, model, assets, _, opt, H, W, raster_cfg, state, batch = graft._build_tiny(
+        query_res=32, image_hw=32, n_frames=8, batch_size=8
+    )
+    raster_cfg = raster_cfg._replace(ragged=True, ragged_chunk=16,
+                                     blend_vec=True,
+                                     backend="pallas_interpret")
+    ts = raster_cfg.tile_size
+    T = (-(-H // ts)) * (-(-W // ts))
+    rng = np.random.default_rng(1)
+    batch = dict(batch, tile_caps=rng.integers(
+        0, 64, size=(8, T)).astype(np.int32))
+
+    tx = optax.sgd(1.0)
+    state = state.replace(opt_state=tx.init(state.params))
+    step = make_train_step(
+        net, model, assets, tx, opt, H, W, (1.0, 1.0, 1.0), raster_cfg,
+        train_stage=1,
+    )
+    mesh = make_mesh(8)
+
+    ref_state, ref_terms, _ = step(
+        _copy(state), batch, jnp.float32(10.0), jnp.float32(1.0), jnp.float32(0.0)
+    )
+    dp_state, dp_terms, _ = step(
+        replicate(_copy(state), mesh),
+        shard_batch(batch, mesh),
+        jnp.float32(10.0),
+        jnp.float32(1.0),
+        jnp.float32(0.0),
+    )
+    np.testing.assert_allclose(
+        float(dp_terms["total"]), float(ref_terms["total"]), atol=1e-6, rtol=1e-6
+    )
+    assert float(ref_terms["raster_overflow"]) == float(dp_terms["raster_overflow"])
+    flat_ref, _ = jax.tree.flatten(jax.tree.map(np.asarray, ref_state.params))
+    flat_got, _ = jax.tree.flatten(jax.tree.map(np.asarray, dp_state.params))
+    for r, g in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(g, r, atol=1e-5, rtol=1e-5)
