@@ -84,10 +84,11 @@ def main():
     raster_cfg = RasterizeConfig(
         tile_size=32, tile_capacity=128, max_tiles_per_gaussian=4,
         tile_capacity_hi=768, heavy_fraction=0.25, sort_stable=False,
+        blend_vec=True,
     )
     train_raster_cfg = RasterizeConfig(
         tile_size=32, tile_capacity=128, max_tiles_per_gaussian=9,
-        tile_capacity_hi=768, heavy_fraction=0.25,
+        tile_capacity_hi=768, heavy_fraction=0.25, blend_vec=True,
     )
     # stage-1 canonical gaussians are pose-independent: precompute once
     cache = precompute_canonical(net, assets, state.params, state.batch_stats)
@@ -108,15 +109,23 @@ def main():
     # reproduces that magnitude so the bench measures the real workload shape
     it = jnp.int32(10)
 
+    # Timing discipline: end every loop with a device->host VALUE fetch.
+    # Through the axon tunnel, block_until_ready can return before the
+    # device queue drains (measured: a 4-deep chained-matmul "finishes"
+    # faster than one matmul), while fetching a scalar cannot — its one
+    # extra roundtrip amortizes over the loop.
+    def sync(x):
+        float(jnp.sum(x))
+
     # warm up / compile
     img = render(cache, state.params, batch_for(0), it)
-    img.block_until_ready()
+    sync(img)
 
     n_calls = 30
     t0 = time.time()
     for i in range(n_calls):
         img = render(cache, state.params, batch_for(i * B % NF), it)
-    img.block_until_ready()
+    sync(img)
     dt = (time.time() - t0) / (n_calls * B)
     fps = 1.0 / dt
 
@@ -138,11 +147,11 @@ def main():
         return b
 
     img = render2(cache, state.params, batch2_for(0), it)
-    img.block_until_ready()
+    sync(img)
     t0 = time.time()
     for i in range(n_calls):
         img = render2(cache, state.params, batch2_for(i * B % NF), it)
-    img.block_until_ready()
+    sync(img)
     fps_1024 = 1.0 / ((time.time() - t0) / (n_calls * B))
 
     # ---- extra 1: overflow on one rendered batch (truncation is never silent)
@@ -185,12 +194,12 @@ def main():
     ones = jnp.float32(1.0)
     feeds = [jax.device_put(feed_for(i)) for i in range(8)]
     state_t, terms, _ = step(state_t, feeds[0], ones, ones * 0, ones * 0)
-    jax.block_until_ready(terms["total"])
+    sync(terms["total"])
     n_steps = 50
     t0 = time.time()
     for i in range(n_steps):
         state_t, terms, _ = step(state_t, feeds[i % 8], ones, ones * 0, ones * 0)
-    jax.block_until_ready(terms["total"])
+    sync(terms["total"])
     train_ips = n_steps / (time.time() - t0)
 
     # ---- extra 3: CANONICAL-workload train throughput under the ADOPTED
@@ -207,9 +216,12 @@ def main():
         np.zeros(J * 3, np.float32), np.zeros(4, np.float32),
         query_res=512, pad_to=256,
     )
+    # fast-config profile the canonical campaign validated: M=4 once the
+    # adaptive footprint shrinks (converged scene), unstable sort, vec blend
     raster_cfg_c = RasterizeConfig(
-        tile_size=32, tile_capacity=128, max_tiles_per_gaussian=9,
-        ragged=True, ragged_chunk=128, ragged_budget=684,
+        tile_size=32, tile_capacity=128, max_tiles_per_gaussian=4,
+        sort_stable=False, ragged=True, ragged_chunk=128, ragged_budget=684,
+        blend_vec=True,
     )
     state_c = init_state(net, assets_c, _TX0(), batch_size=Bt)
     tx_c = build_optimizer(state_c.params, opt, steps_per_epoch=NF // Bt, train_stage=1)
@@ -219,11 +231,11 @@ def main():
         train_stage=1,
     )
     state_c, terms, _ = step_c(state_c, feeds[0], ones, ones * 0, ones * 0)
-    jax.block_until_ready(terms["total"])
+    sync(terms["total"])
     t0 = time.time()
     for i in range(n_steps):
         state_c, terms, _ = step_c(state_c, feeds[i % 8], ones, ones * 0, ones * 0)
-    jax.block_until_ready(terms["total"])
+    sync(terms["total"])
     train_ips_c = n_steps / (time.time() - t0)
 
     # ---- roofline accounting: XLA cost analysis of the compiled programs

@@ -210,8 +210,12 @@ class RasterParams:
     # sequential kernels' one-row-at-a-time walk. Identical gating semantics
     # (1/255 floor, 0.99 clamp, 1e-4 termination); results agree to float
     # tolerance, not bit-exactly (tree-reassociated products/sums) — the
-    # sequential kernels stay as the CUDA-parity bit-exactness lock.
-    blend_vec: int = 0
+    # sequential kernels stay as the CUDA-parity bit-exactness lock
+    # (blend_vec=0 restores them). Default ON: measured 1.42-1.50x on the
+    # canonical ragged train step and 1.32x on the render forward (v5e,
+    # BASELINE.md round-4 "row-vectorized blend"), quality-gated by a full
+    # canonical campaign.
+    blend_vec: int = 1
 
 
 def _add_group(parser: ArgumentParser, cls, name: str, shorthands: dict):
