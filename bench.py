@@ -117,7 +117,15 @@ def main():
     def sync(x):
         float(jnp.sum(x))
 
+    t_start = time.time()
+
+    def mark(msg):
+        # stage progress to stderr (stdout carries only the one JSON line):
+        # makes a timeout diagnosable from the captured log
+        print(f"[bench {time.time() - t_start:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
     # warm up / compile
+    mark("compiling render @512")
     img = render(cache, state.params, batch_for(0), it)
     sync(img)
 
@@ -146,6 +154,7 @@ def main():
         b["tan_fovy"] = tile(cam2.tan_fovy)
         return b
 
+    mark("compiling render @1024")
     img = render2(cache, state.params, batch2_for(0), it)
     sync(img)
     t0 = time.time()
@@ -171,6 +180,7 @@ def main():
             jnp.ones(3), config=raster_cfg, return_overflow=True,
         )[1]
 
+    mark("compiling overflow probe")
     overflow = int(overflow_probe(state.params, state.batch_stats, batch_for(0)))
 
     # ---- extra 2: fused stage-1 train-step wall throughput (B=2 @512^2),
@@ -193,6 +203,7 @@ def main():
 
     ones = jnp.float32(1.0)
     feeds = [jax.device_put(feed_for(i)) for i in range(8)]
+    mark("compiling fast-cascade train step")
     state_t, terms, _ = step(state_t, feeds[0], ones, ones * 0, ones * 0)
     sync(terms["total"])
     n_steps = 50
@@ -230,6 +241,7 @@ def main():
         net, model, assets_c, tx_c, opt, H, W, (1.0, 1.0, 1.0), raster_cfg_c,
         train_stage=1,
     )
+    mark("compiling canonical ragged train step")
     state_c, terms, _ = step_c(state_c, feeds[0], ones, ones * 0, ones * 0)
     sync(terms["total"])
     t0 = time.time()
@@ -264,6 +276,7 @@ def main():
             "hbm_util": round(by / wall_s / V5E_HBM, 3),
         }
 
+    mark("roofline cost analysis")
     rl_render = roofline(
         render.lower(cache, state.params, batch_for(0), it).compile(), 1.0 / fps * B
     )
