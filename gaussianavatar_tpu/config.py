@@ -84,6 +84,11 @@ class NetworkParams:
     posemb_incl_input: int = 0
     geom_layer_type: str = "conv"
     gaussian_kernel_size: int = 5
+    # run the ShapeDecoder matmuls in bf16 (params + BatchNorm stay f32 —
+    # models/decoder.py). Default OFF: quality-gating by a full canonical
+    # campaign is round-5 work; the measured step-time saving is in
+    # BASELINE.md ("bf16 decoder matmuls").
+    bf16_decoder: int = 0
 
 
 @dataclass

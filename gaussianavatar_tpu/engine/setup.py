@@ -146,6 +146,7 @@ def setup_avatar(cfg: Config, train: bool = True) -> AvatarBundle:
         num_emb_freqs=npar.num_emb_freqs,
         posemb_incl_input=bool(npar.posemb_incl_input),
         train_stage=mp.train_stage,
+        compute_dtype="bfloat16" if getattr(npar, "bf16_decoder", 0) else "float32",
         pose_init=train_dataset.pose_data,
         transl_init=train_dataset.transl_data,
     )

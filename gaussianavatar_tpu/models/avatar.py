@@ -137,6 +137,7 @@ class AvatarNet(nn.Module):
     num_emb_freqs: int = 6
     posemb_incl_input: bool = False
     train_stage: int = 1
+    compute_dtype: str = "float32"  # decoder matmul dtype (models/decoder.py)
     pose_init: Optional[np.ndarray] = None     # (num_frames, pose_dim)
     transl_init: Optional[np.ndarray] = None   # (num_frames, 3)
 
@@ -173,6 +174,7 @@ class AvatarNet(nn.Module):
             pos_encoding=self.pos_encoding,
             num_emb_freqs=self.num_emb_freqs,
             posemb_incl_input=self.posemb_incl_input,
+            compute_dtype=self.compute_dtype,
         )
         if self.train_stage == 2:
             self.pose_encoder = UnetNoCond5DS(

@@ -25,15 +25,26 @@ _BN_KW = dict(epsilon=1e-5, momentum=0.9, use_bias=True, use_scale=True)
 class ShapeDecoder(nn.Module):
     hsize: int = 128
     actv_fn: str = "softplus"
+    # "bfloat16" runs the Dense matmuls in bf16 (params stay float32 —
+    # flax casts per-call, the standard mixed-precision split). BatchNorm
+    # statistics, activations between BN and the next matmul, and both
+    # sigmoid/raw output heads stay float32: the BN mean/var over ~2e5
+    # points is where bf16 accumulation actually loses bits, the matmuls
+    # are not. Measured on the canonical decoder fwd+bwd: see BASELINE.md
+    # round-4 "bf16 decoder matmuls". Default float32 (bit-identical to
+    # the pre-knob program); enable via NetworkParams.bf16_decoder.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """x: (B, N, in_size) per-point features (uv + pixel feature).
 
         Returns (xyz (B,N,3), scales (B,N,1), shs (B,N,3))."""
+        cdt = jnp.bfloat16 if self.compute_dtype in ("bf16", "bfloat16") else jnp.float32
         actv = nn.relu if self.actv_fn == "relu" else nn.softplus
-        bn = lambda: nn.BatchNorm(use_running_average=not train, axis=-1, **_BN_KW)
-        dense = lambda f: nn.Dense(f, use_bias=True)
+        _bn = lambda: nn.BatchNorm(use_running_average=not train, axis=-1, **_BN_KW)
+        bn = lambda: (lambda y: _bn()(y.astype(jnp.float32)))
+        dense = lambda f: nn.Dense(f, use_bias=True, dtype=cdt)
 
         x1 = actv(bn()(dense(self.hsize)(x)))
         x2 = actv(bn()(dense(self.hsize)(x1)))
@@ -44,16 +55,16 @@ class ShapeDecoder(nn.Module):
         # position branch
         x6 = actv(bn()(dense(self.hsize)(x5)))
         x7 = actv(bn()(dense(self.hsize)(x6)))
-        xyz = dense(3)(x7)
+        xyz = dense(3)(x7).astype(jnp.float32)
 
         # scale branch (isotropic, 1 channel)
         n6 = actv(bn()(dense(self.hsize)(x5)))
         n7 = actv(bn()(dense(self.hsize)(n6)))
-        scales = nn.sigmoid(dense(1)(n7))
+        scales = nn.sigmoid(dense(1)(n7).astype(jnp.float32))
 
         # color branch
         s6 = actv(bn()(dense(self.hsize)(x5)))
         s7 = actv(bn()(dense(self.hsize)(s6)))
-        shs = nn.sigmoid(dense(3)(s7))
+        shs = nn.sigmoid(dense(3)(s7).astype(jnp.float32))
 
         return xyz, scales, shs

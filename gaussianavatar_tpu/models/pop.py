@@ -41,6 +41,7 @@ class POPDecoder(nn.Module):
     pos_encoding: bool = False      # NeRF-encode the uv query coords
     num_emb_freqs: int = 6
     posemb_incl_input: bool = False
+    compute_dtype: str = "float32"  # ShapeDecoder matmul dtype (see decoder.py)
 
     @nn.compact
     def __call__(
@@ -77,4 +78,4 @@ class POPDecoder(nn.Module):
         uv = jnp.broadcast_to(uv_coords[None], (B,) + uv_coords.shape)
         feats = jnp.concatenate([pts, uv], axis=-1)          # (B, Nv, C+uv)
 
-        return ShapeDecoder(hsize=self.hsize)(feats, train)
+        return ShapeDecoder(hsize=self.hsize, compute_dtype=self.compute_dtype)(feats, train)

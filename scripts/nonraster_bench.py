@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--query", type=int, default=512)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--bf16", type=int, default=0,
+                    help="1 = ShapeDecoder matmuls in bf16 (the "
+                         "NetworkParams.bf16_decoder knob)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +76,7 @@ def main():
     net = AvatarNet(
         num_frames=NF, pose_dim=poses.shape[1], c_geom=64, c_pose=64,
         inp_posmap_size=128, hsize=128, nf=32, train_stage=1,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
         pose_init=poses, transl_init=np.zeros((NF, 3), np.float32),
     )
 

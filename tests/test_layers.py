@@ -176,3 +176,48 @@ def test_pop_decoder_end_to_end():
     grad = jax.grad(loss)(geom)
     assert np.isfinite(np.asarray(grad)).all()
     assert float(jnp.abs(grad).max()) > 0
+
+
+def test_shape_decoder_bf16_matches_f32():
+    """The bf16 compute_dtype knob (NetworkParams.bf16_decoder) reuses the
+    SAME f32 params/batch_stats pytree (flax casts per call) and must stay
+    a rounding-level perturbation of the f32 program: outputs within bf16
+    tolerance, BatchNorm statistics (updated in f32 on both paths)
+    near-identical, grads finite, f32-dtyped, and directionally aligned."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 400, 66)).astype(np.float32))
+    m32 = ShapeDecoder(hsize=128)
+    m16 = ShapeDecoder(hsize=128, compute_dtype="bfloat16")
+    variables = m32.init(jax.random.PRNGKey(1), x)
+    # the identical pytree works for both modules (params stay f32 under bf16)
+    (xyz32, sc32, sh32), mut32 = m32.apply(variables, x, train=True, mutable=["batch_stats"])
+    (xyz16, sc16, sh16), mut16 = m16.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert xyz16.dtype == jnp.float32 and sc16.dtype == jnp.float32
+    # bf16 keeps ~3 decimal digits; activations are O(1) after BN
+    np.testing.assert_allclose(np.asarray(xyz16), np.asarray(xyz32), atol=0.05)
+    np.testing.assert_allclose(np.asarray(sc16), np.asarray(sc32), atol=0.02)
+    np.testing.assert_allclose(np.asarray(sh16), np.asarray(sh32), atol=0.02)
+    # BN statistics are computed in f32 on both paths
+    for v32, v16 in zip(
+        jax.tree_util.tree_leaves(mut32["batch_stats"]),
+        jax.tree_util.tree_leaves(mut16["batch_stats"]),
+    ):
+        np.testing.assert_allclose(np.asarray(v16), np.asarray(v32), atol=5e-3)
+
+    def loss(m, params):
+        (xyz, sc, sh), _ = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(xyz**2) + jnp.sum(sc) + jnp.sum(sh)
+
+    g32 = jax.grad(lambda p: loss(m32, p))(variables["params"])
+    g16 = jax.grad(lambda p: loss(m16, p))(variables["params"])
+    l32, l16 = jax.tree_util.tree_leaves(g32), jax.tree_util.tree_leaves(g16)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in l16)
+    flat32 = jnp.concatenate([g.reshape(-1) for g in l32])
+    flat16 = jnp.concatenate([g.reshape(-1) for g in l16])
+    assert flat16.dtype == jnp.float32
+    cos = float(jnp.vdot(flat32, flat16)
+                / (jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16) + 1e-12))
+    assert cos > 0.99, cos
