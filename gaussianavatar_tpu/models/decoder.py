@@ -25,14 +25,17 @@ _BN_KW = dict(epsilon=1e-5, momentum=0.9, use_bias=True, use_scale=True)
 class ShapeDecoder(nn.Module):
     hsize: int = 128
     actv_fn: str = "softplus"
-    # "bfloat16" runs the Dense matmuls in bf16 (params stay float32 —
-    # flax casts per-call, the standard mixed-precision split). BatchNorm
-    # statistics, activations between BN and the next matmul, and both
-    # sigmoid/raw output heads stay float32: the BN mean/var over ~2e5
-    # points is where bf16 accumulation actually loses bits, the matmuls
-    # are not. Measured on the canonical decoder fwd+bwd: see BASELINE.md
-    # round-4 "bf16 decoder matmuls". Default float32 (bit-identical to
-    # the pre-knob program); enable via NetworkParams.bf16_decoder.
+    # "bfloat16" runs the Dense matmuls AND the inter-layer activations
+    # (BatchNorm normalize + softplus) in bf16; params stay float32 (flax
+    # casts per call) and the BN mean/var reductions are always computed
+    # in float32 (flax _compute_stats force_float32_reductions) — the one
+    # place bf16 accumulation over ~2e5 points would actually lose bits.
+    # Output heads return float32. The decoder is activation-BANDWIDTH
+    # bound (11 BN stages round-tripping (2·205k,128) activations between
+    # 128-wide matmuls), so halving activation bytes is the lever, not the
+    # matmul FLOPs — measured numbers in BASELINE.md round-4 "bf16 decoder
+    # matmuls". Default float32 (bit-identical to the pre-knob program);
+    # enable via NetworkParams.bf16_decoder.
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -42,8 +45,8 @@ class ShapeDecoder(nn.Module):
         Returns (xyz (B,N,3), scales (B,N,1), shs (B,N,3))."""
         cdt = jnp.bfloat16 if self.compute_dtype in ("bf16", "bfloat16") else jnp.float32
         actv = nn.relu if self.actv_fn == "relu" else nn.softplus
-        _bn = lambda: nn.BatchNorm(use_running_average=not train, axis=-1, **_BN_KW)
-        bn = lambda: (lambda y: _bn()(y.astype(jnp.float32)))
+        bn = lambda: nn.BatchNorm(use_running_average=not train, axis=-1,
+                                  dtype=cdt, **_BN_KW)
         dense = lambda f: nn.Dense(f, use_bias=True, dtype=cdt)
 
         x1 = actv(bn()(dense(self.hsize)(x)))
