@@ -8,7 +8,11 @@
 import sys
 from argparse import ArgumentParser
 
-from gaussianavatar_tpu.config import build_parser, extract_config
+from gaussianavatar_tpu.config import (
+    build_parser,
+    extract_config,
+    resolve_train_raster_defaults,
+)
 from gaussianavatar_tpu.engine.logging_utils import safe_state
 
 
@@ -34,6 +38,8 @@ def main(argv=None):
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     cfg = extract_config(args)
+    for note in resolve_train_raster_defaults(cfg, args):
+        print(note)
     saving_epochs = sorted(set(args.save_epochs + [cfg.opt.epochs]))
 
     from gaussianavatar_tpu.utils.xla_cache import enable_compilation_cache

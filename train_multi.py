@@ -19,7 +19,11 @@ import sys
 from argparse import ArgumentParser
 from os.path import basename, join, normpath
 
-from gaussianavatar_tpu.config import build_parser, extract_config
+from gaussianavatar_tpu.config import (
+    build_parser,
+    extract_config,
+    resolve_train_raster_defaults,
+)
 from gaussianavatar_tpu.engine.logging_utils import safe_state
 
 
@@ -67,6 +71,10 @@ def main(argv=None):
     cfgs = []
     for src, name in zip(args.sources, names):
         cfg = extract_config(args)
+        notes = resolve_train_raster_defaults(cfg, args)
+        if not cfgs:  # same flags for every subject: print once
+            for note in notes:
+                print(note)
         cfg.model.source_path = src
         cfg.model.model_path = join(out_root, name)
         cfgs.append(cfg)
