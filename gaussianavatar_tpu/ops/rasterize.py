@@ -65,7 +65,12 @@ class RasterizeConfig(NamedTuple):
     ragged_budget: int = 0
     # row-vectorized blend kernels (ops/blend_vec): whole 128-row chunks per
     # step with the transmittance chain as a log2-step scan. Same gating
-    # semantics as the sequential kernels; float-tolerance, not bit-exact
+    # semantics as the sequential kernels; float-tolerance, not bit-exact.
+    # NOTE: False here is the library-level CUDA-parity bit-exactness
+    # default (direct RasterizeConfig constructions — tests, parity locks);
+    # the CLI layer (config.RasterParams.blend_vec = 1, engine/loop.
+    # raster_config) flips production runs to the vectorized kernels,
+    # campaign-gated in BASELINE.md round 4
     blend_vec: bool = False
 
 

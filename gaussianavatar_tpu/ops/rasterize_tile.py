@@ -711,7 +711,12 @@ def _make_pallas_blend(txn: int, ts: int, K: int, interpret: bool,
     `acc_name` sets the FORWARD compute/accumulate dtype (bf16 experiment);
     the backward kernel always runs f32 — grads feed an f32 optimizer.
     `vec` selects the row-vectorized kernels (ops/blend_vec; f32 only —
-    acc_name is ignored there)."""
+    a non-f32 acc_name is rejected rather than silently ignored)."""
+    if vec and acc_name != "float32":
+        raise ValueError(
+            "blend_vec=1 supports only float32 accumulation; set "
+            "blend_acc_dtype='float32' or blend_vec=0 for the bf16-forward "
+            "experiment (the sequential kernels implement it)")
     acc = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[acc_name]
 
     @jax.custom_vjp
@@ -892,7 +897,16 @@ def probe_tile_depths(
     converged avatar most binned pairs sit behind saturated transmittance.
     A tile whose needed depth equals `probe_capacity` may want more — the
     tuner treats it as "at least this much" (and overflow reporting stays
-    honest either way)."""
+    honest either way).
+
+    The probe runs whichever blend `config.blend_vec` selects, so a cached
+    need table is consistent with the kernels that will consume it — but
+    NOT interchangeable across blend_vec settings: the vectorized kernels'
+    tree-reassociated transmittance products can flip a tile's needed depth
+    by +-1 rank vs the sequential walk (test_vec_probe_matches_seq_
+    needed_depths pins the bound). Regenerate need tables when toggling
+    blend_vec; the train loop does this implicitly (tables are rebuilt at
+    startup and every save-boundary retune, never persisted)."""
     ts = config.tile_size
     M = config.max_tiles_per_gaussian
     MW = MH = int(math.isqrt(M))

@@ -70,8 +70,10 @@ def main():
     ap.add_argument("--m", type=int, default=9,
                     help="max_tiles_per_gaussian footprint cap (perfect "
                          "square; 9 = train default, 4 = render fast profile)")
-    ap.add_argument("--blend_vec", type=int, default=0,
-                    help="1 = row-vectorized blend kernels (ops/blend_vec)")
+    ap.add_argument("--blend_vec", type=int, default=1,
+                    help="1 = row-vectorized blend kernels (ops/blend_vec; "
+                         "the production default) — 0 restores the "
+                         "sequential kernels for A/B")
     ap.add_argument("--only", default=None,
                     help="time just this variant (e.g. 'full') — for A/B "
                          "runs that don't need the whole ablation table")

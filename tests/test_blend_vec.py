@@ -154,3 +154,14 @@ def test_vec_probe_matches_seq_needed_depths():
     # needed depth = a comparison-thresholded count; reassociated float
     # products can flip a borderline rank by 1
     np.testing.assert_allclose(np.asarray(need_v), np.asarray(need_s), atol=1)
+
+
+def test_vec_rejects_bf16_accumulate():
+    """blend_vec kernels are f32-only; a bf16 blend_acc_dtype must fail loudly
+    instead of being silently ignored (ADVICE round 4)."""
+    import pytest
+
+    from gaussianavatar_tpu.ops.rasterize_tile import _make_pallas_blend
+
+    with pytest.raises(ValueError, match="float32"):
+        _make_pallas_blend(4, 16, 64, True, "bfloat16", True)
