@@ -61,15 +61,9 @@ def main(argv=None):
         # probe-then-render: each batch's saturation depths become exact
         # per-tile ragged capacities — every contributing pair blends (the
         # uncapped CUDA rasterizer's coverage) at minimum slab cost
-        from gaussianavatar_tpu.engine.inference import (
-            PROBE_CAPACITY, make_counts_fn,
-        )
-        from gaussianavatar_tpu.engine.loop import raster_config
+        from gaussianavatar_tpu.engine.inference import ragged_probe_setup
 
-        base_rcfg = override if override is not None else raster_config(cfg)
-        override = base_rcfg._replace(ragged=True, tiers=())
-        counts_probe = make_counts_fn(inf.bundle, H, W, override,
-                                      probe_capacity=PROBE_CAPACITY)
+        override, counts_probe = ragged_probe_setup(inf, H, W, override)
         print("ragged eval: per-batch saturation probe -> exact per-tile caps")
     render = make_renderer(inf, H, W, with_overflow=True, raster_override=override)
     lpips_fn = try_load_lpips(cfg.model.project_path)

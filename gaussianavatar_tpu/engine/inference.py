@@ -167,6 +167,24 @@ def autotune_raster(inf: InferenceBundle, height: int, width: int, batch):
     return rcfg._replace(tiers=tiers)
 
 
+def ragged_probe_setup(inf: InferenceBundle, height: int, width: int,
+                       override=None):
+    """Probe-exact rendering (`--ragged_eval`, shared by eval and the
+    novel-pose/novel-view CLIs): returns (raster_override, counts_probe).
+    Per batch, run `counts_probe` and feed the NEEDED depths as
+    `batch["tile_caps"]` — each tile then blends exactly the ranks the
+    uncapped CUDA rasterizer's early termination would touch
+    (/root/reference/gaussian_renderer/__init__.py:40-48), measured
+    bit-identical to a genuinely uncapped deep render on the canonical
+    checkpoint (BASELINE.md round-4 truncation fidelity). The probe doubles
+    the render work; offline rendering trades that for exactness."""
+    base_rcfg = override if override is not None else raster_config(inf.cfg)
+    override = base_rcfg._replace(ragged=True, tiers=())
+    counts_probe = make_counts_fn(inf.bundle, height, width, override,
+                                  probe_capacity=PROBE_CAPACITY)
+    return override, counts_probe
+
+
 def load_fixed_inp(cfg: Config):
     """The static input posmap for --fixed_inp stage-2 models (or None)."""
     if cfg.model.train_stage != 2 or not cfg.model.fixed_inp:

@@ -48,7 +48,6 @@ def main(argv=None):
     ds = MonoDatasetNovelView(cfg.model)
     item0 = ds._load_image(ds.name_list[0][1])
     H, W = item0[1], item0[2]
-    render = make_renderer(inf, H, W)
 
     # orbit center: rest-pose pelvis (joint 0) + the frame's translation
     rest = body_mod.forward(
@@ -69,6 +68,26 @@ def main(argv=None):
     if not pose_list:
         print("no bullet pose in range; falling back to pose 0")
         pose_list = [0]
+
+    # build the renderer against a representative orbit frame of the first
+    # bullet pose (auto-tune / probe-exact need a real batch to size from)
+    ds.set_fixed_pose(pose_list[0], args.frames, pelvis)
+    override = None
+    if getattr(cfg.raster, "auto_cascade", 0):
+        from gaussianavatar_tpu.engine.inference import autotune_raster
+
+        override = autotune_raster(inf, H, W, batch_from_item(ds[0]))
+        print(f"auto_cascade tiers: {override.tiers}")
+    counts_probe = None
+    if getattr(cfg.raster, "ragged_eval", 0):
+        # probe-exact rendering: same per-frame coverage guarantee as
+        # eval.py --ragged_eval (see inference.ragged_probe_setup)
+        from gaussianavatar_tpu.engine.inference import ragged_probe_setup
+
+        override, counts_probe = ragged_probe_setup(inf, H, W, override)
+        print("ragged render: per-batch saturation probe -> exact per-tile caps")
+    render = make_renderer(inf, H, W, raster_override=override)
+
     for pose_idx in pose_list:
         ds.set_fixed_pose(pose_idx, args.frames, pelvis)
         out_dir = join(cfg.model.model_path, "novel_view", f"pose_{pose_idx}")
@@ -76,6 +95,10 @@ def main(argv=None):
         print(f"orbiting pose {pose_idx}: {args.frames} frames at {W}x{H}")
         for i in range(args.frames):
             batch = batch_from_item(ds[i])
+            if counts_probe is not None:
+                _, needed = counts_probe(
+                    inf.state.params, inf.state.batch_stats, batch)
+                batch["tile_caps"] = np.asarray(needed).reshape(1, -1)
             img = np.asarray(render(inf.state.params, inf.state.batch_stats, batch))[0]
             png = (np.clip(img, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
             Image.fromarray(png).save(join(out_dir, f"{i:05d}.png"))
