@@ -84,11 +84,21 @@ class NetworkParams:
     posemb_incl_input: int = 0
     geom_layer_type: str = "conv"
     gaussian_kernel_size: int = 5
-    # run the ShapeDecoder matmuls in bf16 (params + BatchNorm stay f32 —
-    # models/decoder.py). Default OFF: quality-gating by a full canonical
-    # campaign is round-5 work; the measured step-time saving is in
-    # BASELINE.md ("bf16 decoder matmuls").
+    # run the ShapeDecoder matmuls AND inter-layer activations (BatchNorm
+    # normalize + softplus) in bf16; params and the BN mean/var statistics
+    # stay f32 (models/decoder.py). Default OFF: quality-gating by a full
+    # canonical campaign is required before a flip; measured step-time
+    # savings in BASELINE.md.
     bf16_decoder: int = 0
+    # 1 = ShapeDecoderFused: fold BatchNorm into the Dense matmuls with
+    # analytically-computed batch statistics (one (C,C) stats matmul per
+    # stage instead of reducing over the materialized pre-activation), fuse
+    # the activation into the matmul epilogue, and recompute its backward
+    # from the output. ~3 HBM passes per stage vs ~5 — the decoder is
+    # activation-bandwidth-bound (BASELINE.md round-4/5). Float-tolerance
+    # vs the reference stage, identical param pytree (checkpoints
+    # interoperate). Composes with bf16_decoder.
+    fused_decoder: int = 0
 
 
 @dataclass

@@ -147,6 +147,7 @@ def setup_avatar(cfg: Config, train: bool = True) -> AvatarBundle:
         posemb_incl_input=bool(npar.posemb_incl_input),
         train_stage=mp.train_stage,
         compute_dtype="bfloat16" if getattr(npar, "bf16_decoder", 0) else "float32",
+        decoder_impl="fused" if getattr(npar, "fused_decoder", 0) else "ref",
         pose_init=train_dataset.pose_data,
         transl_init=train_dataset.transl_data,
     )

@@ -138,6 +138,7 @@ class AvatarNet(nn.Module):
     posemb_incl_input: bool = False
     train_stage: int = 1
     compute_dtype: str = "float32"  # decoder matmul dtype (models/decoder.py)
+    decoder_impl: str = "ref"       # "fused" = analytic-BN folded stages
     pose_init: Optional[np.ndarray] = None     # (num_frames, pose_dim)
     transl_init: Optional[np.ndarray] = None   # (num_frames, 3)
 
@@ -175,6 +176,7 @@ class AvatarNet(nn.Module):
             num_emb_freqs=self.num_emb_freqs,
             posemb_incl_input=self.posemb_incl_input,
             compute_dtype=self.compute_dtype,
+            decoder_impl=self.decoder_impl,
         )
         if self.train_stage == 2:
             self.pose_encoder = UnetNoCond5DS(

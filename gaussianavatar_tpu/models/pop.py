@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gaussianavatar_tpu.models.decoder import ShapeDecoder
+from gaussianavatar_tpu.models.decoder import ShapeDecoder, ShapeDecoderFused
 from gaussianavatar_tpu.models.layers import (
     GeomConvBottleneckLayers,
     GeomConvLayers,
@@ -42,6 +42,11 @@ class POPDecoder(nn.Module):
     num_emb_freqs: int = 6
     posemb_incl_input: bool = False
     compute_dtype: str = "float32"  # ShapeDecoder matmul dtype (see decoder.py)
+    # "fused" = ShapeDecoderFused: analytic-BN matmul-folded stages (~3 HBM
+    # passes/layer vs ~5; float-tolerance vs "ref", identical param pytree —
+    # decoder.py). Checkpoints interoperate: the fused module is named
+    # "ShapeDecoder_0" so either impl loads either checkpoint.
+    decoder_impl: str = "ref"
 
     @nn.compact
     def __call__(
@@ -78,4 +83,8 @@ class POPDecoder(nn.Module):
         uv = jnp.broadcast_to(uv_coords[None], (B,) + uv_coords.shape)
         feats = jnp.concatenate([pts, uv], axis=-1)          # (B, Nv, C+uv)
 
+        if self.decoder_impl == "fused":
+            return ShapeDecoderFused(hsize=self.hsize,
+                                     compute_dtype=self.compute_dtype,
+                                     name="ShapeDecoder_0")(feats, train)
         return ShapeDecoder(hsize=self.hsize, compute_dtype=self.compute_dtype)(feats, train)

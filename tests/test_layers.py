@@ -221,3 +221,75 @@ def test_shape_decoder_bf16_matches_f32():
     cos = float(jnp.vdot(flat32, flat16)
                 / (jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16) + 1e-12))
     assert cos > 0.99, cos
+
+
+def test_shape_decoder_fused_matches_ref():
+    """ShapeDecoderFused (analytic-BN matmul-folded stages, decoder.py) must
+    be a float-tolerance twin of ShapeDecoder on the SAME variables pytree:
+    identical param/stat structure, matching outputs, matching updated
+    BatchNorm statistics (the analytic E[y^2]-E[y]^2 equals flax's computed
+    form), matching grads (incl. through the stats path), and matching
+    eval-mode (running-stats) outputs."""
+    from gaussianavatar_tpu.models.decoder import ShapeDecoderFused
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 400, 66)).astype(np.float32))
+    ref = ShapeDecoder(hsize=128)
+    fus = ShapeDecoderFused(hsize=128)
+    vref = ref.init(jax.random.PRNGKey(1), x)
+    vfus = fus.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(vref) == jax.tree_util.tree_structure(vfus)
+    for a, b in zip(jax.tree_util.tree_leaves(vref), jax.tree_util.tree_leaves(vfus)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    (o_r, mut_r) = ref.apply(vref, x, train=True, mutable=["batch_stats"])
+    (o_f, mut_f) = fus.apply(vref, x, train=True, mutable=["batch_stats"])
+    for a, b in zip(o_r, o_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(mut_r["batch_stats"]),
+        jax.tree_util.tree_leaves(mut_f["batch_stats"]),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+    def loss(m, params):
+        (xyz, sc, sh), _ = m.apply(
+            {"params": params, "batch_stats": vref["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(xyz**2) + jnp.sum(sc) + jnp.sum(sh)
+
+    g_r = jax.grad(lambda p: loss(ref, p))(vref["params"])
+    g_f = jax.grad(lambda p: loss(fus, p))(vref["params"])
+    flat_r = jnp.concatenate([g.reshape(-1) for g in jax.tree_util.tree_leaves(g_r)])
+    flat_f = jnp.concatenate([g.reshape(-1) for g in jax.tree_util.tree_leaves(g_f)])
+    assert bool(jnp.all(jnp.isfinite(flat_f)))
+    cos = float(jnp.vdot(flat_r, flat_f)
+                / (jnp.linalg.norm(flat_r) * jnp.linalg.norm(flat_f) + 1e-12))
+    assert cos > 0.9999, cos
+
+    # eval mode: running stats fold into a pure affine - must also agree
+    e_r = ref.apply(vref, x, train=False)
+    e_f = fus.apply(vref, x, train=False)
+    for a, b in zip(e_r, e_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+
+def test_pop_decoder_fused_impl_checkpoint_interop():
+    """POPDecoder(decoder_impl='fused') must produce the same variables
+    pytree as the reference impl (the fused module is named ShapeDecoder_0),
+    so checkpoints load across impls in both directions."""
+    geo = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 8)).astype(np.float32))
+    uv = jnp.asarray(np.random.default_rng(1).uniform(size=(50, 2)).astype(np.float32))
+    vidx = jnp.arange(50, dtype=jnp.int32)
+    kw = dict(c_geom=8, geom_layer_type="conv", hsize=32)
+    m_ref = POPDecoder(**kw)
+    m_fus = POPDecoder(**kw, decoder_impl="fused")
+    v_ref = m_ref.init(jax.random.PRNGKey(2), geo, uv, vidx, 32)
+    v_fus = m_fus.init(jax.random.PRNGKey(2), geo, uv, vidx, 32)
+    assert jax.tree_util.tree_structure(v_ref) == jax.tree_util.tree_structure(v_fus)
+    # ref-trained variables drive the fused impl to float tolerance
+    (a_r, _) = m_ref.apply(v_ref, geo, uv, vidx, 32, train=True, mutable=["batch_stats"])
+    (a_f, _) = m_fus.apply(v_ref, geo, uv, vidx, 32, train=True, mutable=["batch_stats"])
+    for x, y in zip(a_r, a_f):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=5e-3)
