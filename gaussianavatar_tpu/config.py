@@ -215,6 +215,17 @@ class RasterParams:
     # reported overflow.
     train_footprint_adapt: int = 1
     train_footprint_eps: float = 1e-3
+    # Sampled save-boundary retunes (ragged + auto_cascade): probe every
+    # N-th probe batch first (rotating offset) and SKIP the full-dataset
+    # saturation probe + any rebudget/recompile when the sampled drift is
+    # <= retune_drift_eps, the footprint decision is unchanged, and the
+    # sampled chunk cost moved < 10% (the budget hysteresis). Retunes cost
+    # ~48 s each at the canonical campaign (48-frame probes + recompiles,
+    # ~430 s across 9 retunes — BASELINE.md round-4); converged-scene
+    # retunes measure drift ~0, so most become a cheap sample. The first
+    # (epoch-1) retune always probes fully. 0/1 = always full probe.
+    retune_sample: int = 6
+    retune_drift_eps: float = 2e-2
     # 1 = eval.py probes each eval batch's saturation depths and renders
     # ragged with caps = exactly those depths: CUDA-exact coverage (every
     # contributing pair blended) at the minimum possible slab cost. The

@@ -275,20 +275,28 @@ def train(
                 pb = collate([bundle.train_dataset[int(k)] for k in idxs])
                 probe_feeds.append((idxs, _probe_feed(pb)))
 
-            def build_need_bank(st, prev_caps=None):
+            def build_need_bank(st, prev_caps=None, feeds=None):
                 """-> (need bank (F, T) int32, candidate-footprint clip
-                fraction over all train frames — None without fp_adapt).
+                fraction over the probed frames — None without fp_adapt,
+                measured drift — None without prev_caps, probed frame idxs).
 
                 With `prev_caps` (the caps table this retune replaces) it
                 also logs the measured NEED DRIFT: the fraction of
                 contributing pairs whose raw need outgrew the previous caps
                 during the window — i.e. what the margin failed to cover
                 (pairs actually dropped just before this retune), the
-                empirical justification for the ragged_margin value."""
-                nb = np.zeros((F, T_img), np.int32)
+                empirical justification for the ragged_margin value.
+
+                With `feeds` (a subset of probe_feeds — the SAMPLED retune
+                path) only those frames are re-probed; unprobed frames keep
+                their previous caps, and the drift/clip fractions describe
+                the probed subset."""
+                nb = (np.array(prev_caps, np.int64) if prev_caps is not None
+                      and feeds is not None else np.zeros((F, T_img), np.int64))
                 got = np.zeros(F, bool)
+                raw = np.zeros((F, T_img), np.int64)
                 drop = tot = 0
-                for idxs, feed in probe_feeds:
+                for idxs, feed in (probe_feeds if feeds is None else feeds):
                     out = counts_fn(st.params, st.batch_stats, feed)
                     needed = np.asarray(out[1]).reshape(mp.batch_size, T_img)
                     if fp_adapt:
@@ -296,22 +304,25 @@ def train(
                         tot += int(out[3])
                     for row, k in zip(needed, idxs):
                         if not got[k]:
-                            nb[k] = row
+                            raw[k] = row
                             got[k] = True
+                probed = np.flatnonzero(got)
+                drift = None
                 if prev_caps is not None:
                     exceed = int(np.maximum(
-                        nb.astype(np.int64) - prev_caps, 0).sum())
-                    drift = exceed / max(int(nb.sum()), 1)
-                    logger.log_event("ragged_drift", f"{drift:.2e}")
+                        raw[probed] - prev_caps[probed], 0).sum())
+                    drift = exceed / max(int(raw[probed].sum()), 1)
+                    scope = "" if feeds is None else f" ({len(probed)}/{F} frames sampled)"
+                    logger.log_event("ragged_drift", f"{drift:.2e}{scope}")
                     print(f"ragged need drift since last retune: {drift:.2e} "
-                          f"of contributing pairs outgrew the caps")
+                          f"of contributing pairs outgrew the caps{scope}")
                 # margin: saturation evolves between retunes and gradients
                 # flow only through blended ranks (ragged_margin knob)
                 m = float(getattr(cfg.raster, "ragged_margin", 1.5) or 1.5)
-                nb = np.minimum(
-                    np.ceil(nb * m).astype(np.int64), PROBE_CAPACITY
-                ).astype(np.int32)
-                return nb, (drop / max(tot, 1) if fp_adapt else None)
+                nb[probed] = np.ceil(raw[probed] * m)
+                nb = np.minimum(nb, PROBE_CAPACITY).astype(np.int32)
+                return (nb, (drop / max(tot, 1) if fp_adapt else None),
+                        drift, probed)
 
             def footprint_for(frac, cur_m):
                 """Hysteresis M decision: shrink to the render footprint
@@ -334,7 +345,8 @@ def train(
                 C = -(-C // 256) * 256 if C >= 256 else -(-C // 8) * 8
                 return int(np.ceil(C * CBr / (mp.batch_size * T_img)))
 
-            need_bank, fp_frac = build_need_bank(state)
+            need_bank, fp_frac, _, _ = build_need_bank(state)
+            retune_idx = 0  # rotates the sampled-retune batch offset
             new_m = footprint_for(fp_frac, rcfg_train.max_tiles_per_gaussian)
             if new_m != rcfg_train.max_tiles_per_gaussian:
                 rcfg_train = rcfg_train._replace(max_tiles_per_gaussian=new_m)
@@ -544,7 +556,46 @@ def train(
             # capacities/fractions so consecutive retunes usually agree,
             # and the persistent XLA cache makes repeats across runs free.
             if need_bank is not None:
-                need_bank, fp_frac = build_need_bank(state, prev_caps=need_bank)
+                # Sampled retune fast path: probe every retune_sample-th
+                # probe batch (rotating offset so successive retunes cover
+                # different frames) and skip the full-dataset probe + any
+                # rebudget/recompile when the sample shows (a) drift within
+                # retune_drift_eps, (b) the footprint decision unchanged,
+                # and (c) the merged-table budget inside the 10% shrink
+                # hysteresis and not above the current budget. Probed
+                # frames still adopt their fresh caps (caps are data — no
+                # recompile). The epoch-1 retune always probes fully: it
+                # sizes the grid for the transparency-deep warm-up scene.
+                ns = int(getattr(cfg.raster, "retune_sample", 0) or 0)
+                sampled_ok = False
+                if ns >= 2 and epoch != epoch_start + 1 \
+                        and len(probe_feeds) > ns:
+                    sub = probe_feeds[retune_idx % ns::ns]
+                    nb_s, fp_s, drift_s, _ = build_need_bank(
+                        state, prev_caps=need_bank, feeds=sub)
+                    newb_s = budget_for(nb_s)
+                    d_eps = float(getattr(
+                        cfg.raster, "retune_drift_eps", 2e-2))
+                    cur_b = rcfg_train.ragged_budget
+                    if (drift_s is not None and drift_s <= d_eps
+                            and footprint_for(
+                                fp_s, rcfg_train.max_tiles_per_gaussian)
+                            == rcfg_train.max_tiles_per_gaussian
+                            and cur_b * 0.9 <= newb_s <= cur_b):
+                        need_bank = nb_s
+                        sampled_ok = True
+                        logger.log_event(
+                            "retune_sampled",
+                            f"epoch {epoch} drift {drift_s:.2e} "
+                            f"budget {newb_s}/{cur_b}")
+                        print(f"retune (epoch {epoch}): sampled probe clean"
+                              f" (drift {drift_s:.2e}, budget {newb_s} in "
+                              f"[{int(cur_b*0.9)}, {cur_b}]) — full probe "
+                              f"skipped")
+                retune_idx += 1
+            if need_bank is not None and not sampled_ok:
+                need_bank, fp_frac, _, _ = build_need_bank(
+                    state, prev_caps=need_bank)
                 newb = budget_for(need_bank)
                 rebuild = False
                 # adaptive footprint: once the probe shows the render-profile
@@ -581,7 +632,7 @@ def train(
                     rebuild = True
                 if rebuild:
                     step_fn, multi_fn = build_steps(rcfg_train)
-            else:
+            elif need_bank is None:
                 new_tiers = tune_now(state)
                 if new_tiers != rcfg_train.tiers:
                     rcfg_train = rcfg_train._replace(tiers=new_tiers)

@@ -469,6 +469,70 @@ def test_ragged_budget_shrinks_on_retune(dataset, tmp_path, monkeypatch):
     assert losses and np.isfinite(losses[-1])
 
 
+def test_sampled_retune_skips_full_probe(dataset, tmp_path, monkeypatch):
+    """Sampled save-boundary retunes (RasterParams.retune_sample): once the
+    scene converges, a retune probes only every N-th probe batch; when the
+    sampled drift is ~0, the footprint decision is unchanged, and the merged
+    budget sits inside the 10% hysteresis, the full-dataset probe AND the
+    rebudget/recompile are skipped (retunes cost ~48 s each at the canonical
+    campaign, ~430 s across 9 — BASELINE.md round-4). When the sample DOES
+    detect drift (scene grew), the loop falls back to the full probe and
+    rebudgets. Schedule (6 frames / batch 2 = 3 probe feeds,
+    retune_sample=2):
+      calls 0-2   startup build, need 64
+      calls 3-5   epoch-1 retune: always FULL, need 64 -> budget unchanged
+      call  6     epoch-2 retune: sampled (offset 1 -> 1 feed), need 64
+                  -> drift 0, budget inside hysteresis -> SKIP (1 event)
+      calls 7-8   epoch-3 retune: sampled (offset 0 -> 2 feeds), need 160
+                  -> drift 0.4 > eps -> fall back to FULL
+      calls 9-11  epoch-3 full probe, need 160 -> budget GROWS (1 rebudget)
+    """
+    import train as train_cli
+    from gaussianavatar_tpu.engine import inference as inf
+
+    n_tiles = (64 // 16) ** 2
+    calls = {"n": 0}
+
+    def fake_make_counts_fn(bundle, H, W, rcfg, probe_capacity=0, cand_m=0):
+        def counts(params, batch_stats, feed):
+            B = int(np.asarray(feed["pose_idx"]).shape[0])
+            need = 64 if calls["n"] < 7 else 160
+            calls["n"] += 1
+            out = (np.full((B * n_tiles,), 512, np.int32),
+                   np.full((B * n_tiles,), need, np.int32))
+            if cand_m > 0:
+                out = out + (np.int32(0), np.int32(B * 512 * n_tiles))
+            return out
+
+        return counts
+
+    monkeypatch.setattr(inf, "make_counts_fn", fake_make_counts_fn)
+
+    out = str(tmp_path / "out_sampled")
+    train_cli.main(
+        ["-s", dataset, "-m", out, *SMALL_ARGS,
+         "--epochs", "3", "--save_epoch", "1", "--save_epochs", "0",
+         "--ragged", "1", "--ragged_chunk", "16", "--auto_cascade", "1",
+         "--retune_sample", "2", "--no_lpips"]
+    )
+    assert calls["n"] == 12, calls
+    with open(join(out, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    sampled = [r["value"] for r in rows if r.get("event") == "retune_sampled"]
+    assert len(sampled) == 1 and "epoch 2" in sampled[0], sampled
+    # the sampled drift log names its subset scope
+    drifts = [r["value"] for r in rows if r.get("event") == "ragged_drift"]
+    assert any("frames sampled)" in d for d in drifts), drifts
+    bank = [r["value"] for r in rows if r.get("event") == "ragged_need_bank"]
+    init_budget = int(bank[0].split("budget ")[1].split()[0])
+    rebudgets = [int(r["value"]) for r in rows
+                 if r.get("event") == "ragged_rebudget"]
+    assert rebudgets == [r for r in rebudgets if r > init_budget], rebudgets
+    assert len(rebudgets) == 1, (init_budget, rebudgets)
+    losses = [r["total"] for r in rows if "total" in r]
+    assert losses and np.isfinite(losses[-1])
+
+
 def test_truncation_fidelity_script(dataset, tmp_path):
     """scripts/truncation_fidelity.py reports fidelity for BOTH adopted eval
     profiles (auto-cascade tiers and probe-exact ragged caps) against the
