@@ -27,6 +27,30 @@ import time
 import numpy as np
 
 
+def campaign_wall_fields():
+    """Whole-campaign wall-clock throughput of the newest committed canonical
+    campaign: read docs/campaigns/*/wall.json (written at archive time by
+    scripts/campaign_wall.py from the campaign's metrics.jsonl step
+    timestamps). Returns {} when no campaign with a wall.json is committed —
+    the field is a measured artifact, never recomputed here."""
+    import glob
+    import os
+
+    best = None
+    for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "docs", "campaigns", "*", "wall.json")):
+        if best is None or os.path.getmtime(p) > os.path.getmtime(best):
+            best = p
+    if best is None:
+        return {}
+    w = json.load(open(best))
+    return {
+        "stage1_train_it_per_sec_campaign_wall": w.get("wall_it_per_sec"),
+        "campaign_wall_source": os.path.basename(os.path.dirname(best)),
+        "campaign_wall_vs_tail_median": w.get("whole_run_vs_tail_median"),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -280,6 +304,13 @@ def main():
     rl_render = roofline(
         render.lower(cache, state.params, batch_for(0), it).compile(), 1.0 / fps * B
     )
+    # 1024^2 is the reference's shipped novel-pose workload
+    # (dataset_mono.py:492) — state the roofline there too, not only at the
+    # 30-FPS target's 512^2
+    rl_render_1024 = roofline(
+        render2.lower(cache, state.params, batch2_for(0), it).compile(),
+        1.0 / fps_1024 * B,
+    )
     rl_train = roofline(
         step.lower(state_t, feeds[0], ones, ones * 0, ones * 0).compile(),
         1.0 / train_ips,
@@ -313,8 +344,15 @@ def main():
                     round(train_ips_c / 25.0, 2), round(train_ips_c / 10.0, 2)
                 ],
                 "render_roofline": rl_render,
+                "render_roofline_1024": rl_render_1024,
                 "train_roofline": rl_train,
                 "train_canonical_roofline": rl_train_c,
+                # whole-campaign wall-clock it/s of the newest committed
+                # canonical campaign (docs/campaigns/*/wall.json, written by
+                # scripts/campaign_wall.py from the campaign's own
+                # metrics.jsonl) — the number a full 200-epoch run actually
+                # sustains, next to the converged steady-state rate above
+                **campaign_wall_fields(),
                 "render_overflow": overflow,
             }
         )
