@@ -91,6 +91,9 @@ def main():
         num_frames=NF, pose_dim=poses.shape[1], c_geom=64, c_pose=64,
         inp_posmap_size=128, hsize=128, nf=32, train_stage=1,
         pose_init=poses, transl_init=transls,
+        # the adopted default (NetworkParams.bf16_decoder=1, campaign-gated
+        # round 5): decoder matmuls + inter-layer activations in bf16
+        compute_dtype="bfloat16",
     )
 
     class _TX0:

@@ -86,10 +86,14 @@ class NetworkParams:
     gaussian_kernel_size: int = 5
     # run the ShapeDecoder matmuls AND inter-layer activations (BatchNorm
     # normalize + softplus) in bf16; params and the BN mean/var statistics
-    # stay f32 (models/decoder.py). Default OFF: quality-gating by a full
-    # canonical campaign is required before a flip; measured step-time
-    # savings in BASELINE.md.
-    bf16_decoder: int = 0
+    # stay f32 (models/decoder.py). Default ON since round 5: measured
+    # 1.63x the decoder fwd+bwd at the canonical MLP shape
+    # (scripts/decoder_bench.py), quality-gated by a full 200-epoch
+    # canonical campaign (docs/campaigns/qgbf512: 43.25 PSNR endpoint,
+    # tail-mean 43.12 +/- 0.28 dB — in-family with the four f32-decoder
+    # campaigns at 43.2-43.7). `--bf16_decoder 0` restores the
+    # bit-identical-to-reference f32 program.
+    bf16_decoder: int = 1
     # 1 = ShapeDecoderFused: fold BatchNorm into the Dense matmuls with
     # analytically-computed batch statistics (one (C,C) stats matmul per
     # stage instead of reducing over the materialized pre-activation), fuse
