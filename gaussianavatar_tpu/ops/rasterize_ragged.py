@@ -71,22 +71,32 @@ import math
 
 def _budget_theta(caps: jax.Array, CB: int, C: int) -> jax.Array:
     """Largest integer ceiling theta such that the chunked stream fits the
-    budget: sum(ceil(min(caps, theta)/CB)) <= C. Monotone in theta ->
-    bisection on [0, max(caps)]; 31 fixed iterations cover int32."""
+    budget: sum(ceil(min(caps, theta)/CB)) <= C.
+
+    Closed vectorized form (no sequential search): ceil(min(c, theta)/CB)
+    = min(ceil(theta/CB), ceil(c/CB)) for c, theta >= 0, so the fit sum
+    depends on theta only through its chunk level t = ceil(theta/CB):
+    f(t) = sum_c min(t, q_c) with q_c = ceil(c/CB). With q sorted and
+    prefix-summed, f(t) = P[#(q<t)] + t * #(q>=t) for every candidate
+    level t in [0, C] at once (t* <= C always: f(t) >= t while any tile
+    is that deep; past max(q), f saturates at sum(q) and theta* is
+    max(caps) itself). The previous form — 31-iteration bisection as a
+    fori_loop of tiny (G,) reduces — was launch-bound: ~2.5 ms of the
+    canonical step (prefix-timed, scripts/ragged_profile.py round 5),
+    paid in the render path too. Bit-equal to the host bisection twin
+    `budget_theta_host` (fuzz-tested)."""
     caps = caps.astype(jnp.int32)
-
-    def fits(theta):
-        return jnp.sum(_cdiv_arr(jnp.minimum(caps, theta), CB)) <= C
-
-    def body(_, lohi):
-        lo, hi = lohi  # invariant: fits(lo), not fits(hi + 1) unknown; hi is candidate max
-        mid = (lo + hi + 1) // 2
-        ok = fits(mid)
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
-
+    G = caps.shape[0]
+    q = _cdiv_arr(caps, CB)
+    sq = jnp.sort(q)
+    P = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(sq, dtype=jnp.int32)])
+    t = jnp.arange(C + 1, dtype=jnp.int32)
+    i = jnp.searchsorted(sq, t, side="left").astype(jnp.int32)  # #(q < t)
+    f = P[i] + t * (jnp.int32(G) - i)
+    tstar = jnp.max(jnp.where(f <= C, t, 0))
     hi0 = jnp.max(caps, initial=jnp.int32(0))
-    lo, _ = jax.lax.fori_loop(0, 31, body, (jnp.int32(0), hi0))
-    return lo
+    return jnp.minimum(tstar * CB, hi0)
 
 
 def chunk_slab(G: int, budget: int, CB: int) -> int:
