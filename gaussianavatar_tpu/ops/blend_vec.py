@@ -192,3 +192,163 @@ def vec_bwd_chunk(p, px, py, k0, count, ncon, finalT, gr, gg, gb, gfT, T_carry, 
     T_carry_new = T_carry / P[0:1]             # T before the chunk's first row
     E_carry_new = E_carry + jnp.sum(e, axis=0, keepdims=True)
     return block, T_carry_new, E_carry_new
+
+
+def vec_bwd_chunk_lean(
+    p, px, py, k0, count, ncon, finalT, gr, gg, gb, gfT, T_carry, E_carry
+):
+    """Pass-lean restructuring of `vec_bwd_chunk`: identical reduction
+    COUNT (9 cross-lane sums — the irreducible output surface) but fewer
+    full-(CB, PX) elementwise passes feeding them:
+
+      - the mean/conic integrands share u = dpow*dx, v = dpow*dy
+        (5 mults total instead of 11 mult/adds; the per-row conic
+        combinations ca*Sdx + cb*Sdy move to (CB, 1) scalars),
+      - d_op rides sum(dpow)/opacity instead of a gval*dalpha integrand
+        (dpow = gval*op*dalpha row-scalar op; op == 0 rows have dpow == 0),
+      - the three divisions collapse to two reciprocals (1/P shared by Tn
+        and the T carry, 1/(1-alpha) shared by the E and finalT terms),
+      - the E carry reuses the suffix-cumsum output instead of a fresh
+        row reduction.
+
+    Same reassociation class as `vec_bwd_chunk` (float-tolerance agreement,
+    pinned by tests); measured on v5e canonical shapes by
+    scripts/blend_bwd_bench.py.
+    """
+    dx, dy, gval, alpha, live, k = _alpha_eval(p, px, py, k0, count)
+    m = live & (k < ncon)
+    fac = jnp.where(m, 1.0 - alpha, 1.0)
+    P = _inclusive_suffix_cumprod(fac)
+    rcpP = 1.0 / P
+    Tn = T_carry * rcpP
+    colg = p[:, 5:6] * gr + p[:, 6:7] * gg + p[:, 7:8] * gb
+    wT = jnp.where(m, alpha * Tn, 0.0)
+    e = wT * colg
+    E = _exclusive_suffix_cumsum(e) + E_carry
+    rcp1m = 1.0 / (1.0 - alpha)
+    dalpha = Tn * colg - (E + finalT * gfT) * rcp1m
+    dalpha = jnp.where(m, dalpha, 0.0)
+    dpow = gval * p[:, 8:9] * dalpha
+    u = dpow * dx
+    v = dpow * dy
+    red = lambda x: jnp.sum(x, axis=1, keepdims=True)   # (CB, 1)
+    M0, Sdx, Sdy = red(dpow), red(u), red(v)
+    Sdxx, Sdxy, Sdyy = red(u * dx), red(u * dy), red(v * dy)
+    ca, cb_, cc = p[:, 2:3], p[:, 3:4], p[:, 4:5]
+    op = p[:, 8:9]
+    rcp_op = jnp.where(op > 0, 1.0 / jnp.where(op > 0, op, 1.0), 0.0)
+    CB = p.shape[0]
+    block = jnp.concatenate(
+        [
+            ca * Sdx + cb_ * Sdy,              # d_mx
+            cb_ * Sdx + cc * Sdy,              # d_my
+            -0.5 * Sdxx,                       # d_ca
+            -Sdxy,                             # d_cb
+            -0.5 * Sdyy,                       # d_cc
+            red(wT * gr),                      # d_r
+            red(wT * gg),                      # d_g
+            red(wT * gb),                      # d_b
+            M0 * rcp_op,                       # d_op = sum(gval*dalpha)
+            jnp.zeros((CB, 7), jnp.float32),
+        ],
+        axis=1,
+    )
+    T_carry_new = T_carry * rcpP[0:1]
+    E_carry_new = E[0:1] + e[0:1]              # full suffix sum incl. row 0
+    return block, T_carry_new, E_carry_new
+
+
+def vec_bwd_chunk_mxu(
+    p, px, py, k0, count, ncon, finalT, gr, gg, gb, gfT, T_carry, E_carry,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Moment-form variant of `vec_bwd_chunk`: same math, the 9 cross-lane
+    (CB, PX) -> (CB, 1) reductions re-expressed as TWO matmuls against a
+    shared (9, PX) basis so they run on the MXU instead of the VPU.
+
+    The five geometric reductions are polynomial in the pixel offsets
+    (dx = px - mx), so they expand over the pixel monomials
+    [1, x, y, x^2, xy, y^2] with per-row coefficients:
+
+        sum_px dpow * dx      = Mx  - mx*M0
+        sum_px dpow * dx*dx   = Mxx - mx*(Mx + Sdx)          (etc.)
+
+    with M* = dpow @ basis^T. The expansion is evaluated in TILE-LOCAL
+    pixel coordinates (lx = px - px[0] in [0, ts)) so the monomials stay
+    small (< ts^2) and the cancellation in Mxx - 2*mx*Mx + mx^2*M0 loses
+    only ~log10(ts^2) digits instead of blowing up with the absolute pixel
+    position. The three color reductions ride the same basis via its
+    gr/gg/gb rows (second matmul against wT), and the opacity reduction
+    sum(gval*dalpha) folds into M0 / opacity (dpow = gval*op*dalpha with a
+    per-row scalar op; rows with op == 0 have dpow == 0 identically).
+
+    The three divisions collapse to two reciprocals (1/P shared by Tn and
+    the T carry; 1/(1-alpha) shared by the E and finalT terms).
+
+    `precision` controls the matmul input precision: HIGHEST keeps f32
+    operands (3-pass on the MXU), DEFAULT rounds them to bf16 (1-pass).
+    Not bit-identical to `vec_bwd_chunk` (reassociated sums); agreement is
+    pinned by tests/test_blend_vec.py and scripts/blend_bwd_bench.py.
+    """
+    dx, dy, gval, alpha, live, k = _alpha_eval(p, px, py, k0, count)
+    del dx, dy
+    m = live & (k < ncon)
+    fac = jnp.where(m, 1.0 - alpha, 1.0)
+    P = _inclusive_suffix_cumprod(fac)
+    rcpP = 1.0 / P
+    Tn = T_carry * rcpP
+    colg = p[:, 5:6] * gr + p[:, 6:7] * gg + p[:, 7:8] * gb
+    wT = jnp.where(m, alpha * Tn, 0.0)
+    e = wT * colg
+    E = _exclusive_suffix_cumsum(e) + E_carry
+    rcp1m = 1.0 / (1.0 - alpha)
+    dalpha = Tn * colg - (E + finalT * gfT) * rcp1m
+    dalpha = jnp.where(m, dalpha, 0.0)
+    dpow = gval * p[:, 8:9] * dalpha
+
+    ox = px[:, 0:1]                            # tile origin (first pixel)
+    oy = py[:, 0:1]
+    lx = px - ox                               # (1, PX), values in [0, ts)
+    ly = py - oy
+    basis = jnp.concatenate(
+        [jnp.ones_like(lx), lx, ly, lx * lx, lx * ly, ly * ly, gr, gg, gb],
+        axis=0,
+    )                                          # (9, PX)
+    contract = (((1,), (1,)), ((), ()))
+    Md = jax.lax.dot_general(dpow, basis, contract,
+                             precision=precision,
+                             preferred_element_type=jnp.float32)  # (CB, 9)
+    Mw = jax.lax.dot_general(wT, basis, contract,
+                             precision=precision,
+                             preferred_element_type=jnp.float32)
+    M0, Mx, My = Md[:, 0:1], Md[:, 1:2], Md[:, 2:3]
+    Mxx, Mxy, Myy = Md[:, 3:4], Md[:, 4:5], Md[:, 5:6]
+    mxl = p[:, 0:1] - ox                       # (CB, 1) local means
+    myl = p[:, 1:2] - oy
+    Sdx = Mx - mxl * M0
+    Sdy = My - myl * M0
+    Sdxx = Mxx - mxl * (Mx + Sdx)
+    Sdxy = Mxy - myl * Mx - mxl * Sdy
+    Sdyy = Myy - myl * (My + Sdy)
+    ca, cb_, cc = p[:, 2:3], p[:, 3:4], p[:, 4:5]
+    op = p[:, 8:9]
+    rcp_op = jnp.where(op > 0, 1.0 / jnp.where(op > 0, op, 1.0), 0.0)
+    CB = p.shape[0]
+    block = jnp.concatenate(
+        [
+            ca * Sdx + cb_ * Sdy,              # d_mx
+            cb_ * Sdx + cc * Sdy,              # d_my
+            -0.5 * Sdxx,                       # d_ca
+            -Sdxy,                             # d_cb
+            -0.5 * Sdyy,                       # d_cc
+            Mw[:, 6:7],                        # d_r
+            Mw[:, 7:8],                        # d_g
+            Mw[:, 8:9],                        # d_b
+            M0 * rcp_op,                       # d_op = sum(gval*dalpha)
+            jnp.zeros((CB, 7), jnp.float32),
+        ],
+        axis=1,
+    )
+    T_carry_new = T_carry * rcpP[0:1]
+    E_carry_new = E[0:1] + e[0:1]              # full suffix sum incl. row 0
+    return block, T_carry_new, E_carry_new

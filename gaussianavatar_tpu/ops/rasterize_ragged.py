@@ -60,7 +60,12 @@ from gaussianavatar_tpu.ops.rasterize_tile import (
     _untile,
 )
 from gaussianavatar_tpu.ops.rasterize_ref import ALPHA_MAX, ALPHA_MIN, T_EPS
-from gaussianavatar_tpu.ops.blend_vec import vec_bwd_chunk, vec_fwd_chunk
+from gaussianavatar_tpu.ops.blend_vec import vec_fwd_chunk
+# lean = pass-reduced restructuring of vec_bwd_chunk (same reduction set,
+# fewer full-(CB, PX) elementwise passes; float-tolerance-identical).
+# Measured v5e canonical shapes: 10.2 vs 10.9 ms standalone bwd
+# (scripts/blend_bwd_bench.py, docs/blend_bwd_bench_r5.json).
+from gaussianavatar_tpu.ops.blend_vec import vec_bwd_chunk_lean as vec_bwd_chunk
 
 import math
 

@@ -56,7 +56,12 @@ from gaussianavatar_tpu.ops.rasterize_ref import (
     T_EPS,
     blend_pixels,
 )
-from gaussianavatar_tpu.ops.blend_vec import vec_bwd_chunk, vec_fwd_chunk
+from gaussianavatar_tpu.ops.blend_vec import vec_fwd_chunk
+# lean = pass-reduced restructuring of vec_bwd_chunk (same reduction set,
+# fewer full-(CB, PX) elementwise passes; float-tolerance-identical).
+# Measured v5e canonical shapes: 10.2 vs 10.9 ms standalone bwd
+# (scripts/blend_bwd_bench.py, docs/blend_bwd_bench_r5.json).
+from gaussianavatar_tpu.ops.blend_vec import vec_bwd_chunk_lean as vec_bwd_chunk
 
 _LANES = 128
 _CHUNK = 8  # gaussians per unrolled inner step in the Pallas kernels

@@ -62,18 +62,24 @@ def main():
     G, CB, ts, txn = args.tiles, args.chunk, args.ts, args.txn
     PX = ts * ts
     C = rr.chunk_slab(G, args.budget, CB)
-    rows_per_tile = (C // G) * CB
+    # Distribute the C chunks over tiles exactly like a ragged stream whose
+    # need is uniform: the first (C mod G) tiles get q+1 chunks, the rest q.
+    q, r = divmod(C, G)
+    chunks_per_tile = np.full(G, q, np.int32)
+    chunks_per_tile[:r] += 1
+    rows_per_tile = int(np.mean(chunks_per_tile)) * CB
 
     rng = np.random.default_rng(0)
     # rows clustered near their tile center, gentle conics, low opacity
     tloc = np.arange(G, dtype=np.int32) % (txn * txn)
     tx = (tloc % txn) * ts + ts / 2
     ty = (tloc // txn) * ts + ts / 2
-    n_chunks_per_tile = C // G
-    ct = np.repeat(np.arange(G, dtype=np.int32), n_chunks_per_tile)
-    k0 = np.tile(np.arange(n_chunks_per_tile, dtype=np.int32) * CB, G)
-    last = (k0 == (n_chunks_per_tile - 1) * CB).astype(np.int32)
-    caps = np.full(G, rows_per_tile, np.int32)
+    ct = np.repeat(np.arange(G, dtype=np.int32), chunks_per_tile)
+    k0 = np.concatenate([np.arange(n, dtype=np.int32) * CB
+                         for n in chunks_per_tile])
+    last = np.concatenate([
+        (np.arange(n) == n - 1).astype(np.int32) for n in chunks_per_tile])
+    caps = chunks_per_tile * CB
 
     R = C * CB
     table = np.zeros((R, 16), np.float32)
@@ -238,8 +244,12 @@ def main():
         "nodiv": v_nodiv,
         "noscan": v_noscan,
     }
+    if hasattr(bv, "vec_bwd_chunk_lean"):
+        variants["lean"] = bv.vec_bwd_chunk_lean
     if hasattr(bv, "vec_bwd_chunk_mxu"):
         variants["momred"] = bv.vec_bwd_chunk_mxu
+        variants["momred16"] = functools.partial(
+            bv.vec_bwd_chunk_mxu, precision=jax.lax.Precision.DEFAULT)
 
     report = {"C": int(C), "CB": CB, "PX": PX, "fwd_ms": round(ms_fwd, 2)}
     print(f"fwd pallas_call: {ms_fwd:7.2f} ms", flush=True)
@@ -251,7 +261,7 @@ def main():
         row = {"ms": round(ms, 2)}
         if name == "full":
             ref_out = out
-        elif name == "momred" and ref_out is not None:
+        elif name in ("lean", "momred", "momred16") and ref_out is not None:
             d = float(jnp.max(jnp.abs(out - ref_out)))
             rel = d / (float(jnp.max(jnp.abs(ref_out))) + 1e-30)
             row["max_abs_diff_vs_full"] = d
